@@ -1,0 +1,750 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Dict
+import graft.sources.Tables
+import graft.functions.{SparqlColumns, TextAnalysis, Sketches}
+import graft.operators._
+import graft.pipeline.KgPipeline
+
+/** Every operator from SURVEY.md §2 (plus the training-data additions) as a
+  * named query over /root/testdata tables, each paired with DuckDB-equivalent
+  * oracle SQL in `oracle` (omitted only where not SQL-expressible → driver
+  * does a rows-only check).
+  *
+  * Determinism rules applied throughout (hash-compare survival):
+  *  - no SUM over doubles (order-dependent): per-row floor-to-scaled-int
+  *    first, then BIGINT sums;
+  *  - every top-k has a total-order tiebreak;
+  *  - row sets are unique; column names aliased identically on both sides.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  // shared url construction (FIXTURES.md §1) — Spark + DuckDB forms
+  private def urlCol: org.apache.spark.sql.Column =
+    concat(lit("https://example.org/"), col("source"), lit("/doc"), col("doc_id"))
+  private val urlSql = "'https://example.org/' || source || '/doc' || doc_id"
+
+  // ---------------------------------------------------------------- core ops
+
+  /** S1+F1+F3: scan with type + time-range predicates pushed to parquet. */
+  def q01ScanFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(
+        col("event_type").isin("click", "purchase") &&
+          col("ts").between(lit("2024-01-05").cast("timestamp"), lit("2024-01-20").cast("timestamp"))
+      )
+      .select(col("event_id"), col("event_type"), col("user_id"))
+
+  val q01Sql: String =
+    """SELECT event_id, event_type, user_id FROM events
+      |WHERE event_type IN ('click','purchase')
+      |  AND ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-20'""".stripMargin
+
+  /** O1+O2: global top-k with deterministic tiebreak (TakeOrderedAndProject). */
+  def q02TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("bigint").as("price_cents"))
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+      .limit(50)
+
+  val q02Sql: String =
+    """SELECT o_orderkey, CAST(floor(o_totalprice*100) AS BIGINT) AS price_cents
+      |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 50""".stripMargin
+
+  /** A1/A5: partial+final hash aggregate; scaled-int sums for bit-stability. */
+  def q03Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(floor(col("l_quantity")).cast("bigint")).as("sum_qty"),
+        sum(floor(col("l_extendedprice") * 100).cast("bigint")).as("sum_price_cents")
+      )
+
+  val q03Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** J-broadcast: small dims broadcast — zero shuffle on the fact side. */
+  def q04JoinRegions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  val q04Sql: String =
+    """SELECT r_name, count(*) AS n_customers FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** U2/J1 shape: anti join. */
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  val q05Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Semi join. */
+  def q06SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi"
+      )
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus='F')""".stripMargin
+
+  /** U1: distinct union of change streams. */
+  def q07Union(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(col("n_nationkey").cast("bigint").as("k"), lit("nation").as("src"))
+      .unionByName(
+        t(s, dir, "region").select(col("r_regionkey").cast("bigint").as("k"), lit("region").as("src"))
+      )
+      .distinct()
+
+  val q07Sql: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS k, 'nation' AS src FROM nation
+      |UNION
+      |SELECT CAST(r_regionkey AS BIGINT) AS k, 'region' AS src FROM region""".stripMargin
+
+  /** U2: set difference (the diff kernel's set semantics on a plain table). */
+  def q08Except(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+  }
+
+  val q08Sql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus='F'""".stripMargin
+
+  /** Window top-k per group (§2.5). */
+  def q09WindowTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(floor(col("o_totalprice") * 100).cast("bigint").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+  }
+
+  val q09Sql: String =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(row_number() OVER (PARTITION BY o_custkey
+      |              ORDER BY CAST(floor(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin
+
+  /** A4: exact dedup via hash aggregate. */
+  def q10DedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+
+  val q10Sql: String = "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
+
+  // ------------------------------------------------------- scalar functions
+
+  /** C1: full ordered prefix-replace chain (codegen'd replace fold). */
+  def q11PrefixReplace(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        SparqlColumns.replacePrefixes(
+          concat(lit("http://www.wikidata.org/entity/Q"), col("p_partkey"))
+        ).as("entity_short"),
+        SparqlColumns.replacePrefixes(
+          concat(lit("http://www.wikidata.org/prop/statement/value-normalized/P"), col("p_partkey"))
+        ).as("psn_short"),
+        SparqlColumns.replacePrefixes(
+          concat(lit("see http://schema.org/about and http://www.wikidata.org/prop/direct/P"),
+            col("p_partkey"))
+        ).as("mixed_short")
+      )
+
+  val q11Sql: String = {
+    def chain(inner: String): String =
+      graft.text.SparqlFormat.prefixes.foldLeft(inner) { case (acc, (uri, p)) =>
+        s"replace($acc, '$uri', '$p:')"
+      }
+    s"""SELECT p_partkey,
+       |${chain("'http://www.wikidata.org/entity/Q' || p_partkey")} AS entity_short,
+       |${chain("'http://www.wikidata.org/prop/statement/value-normalized/P' || p_partkey")} AS psn_short,
+       |${chain("'see http://schema.org/about and http://www.wikidata.org/prop/direct/P' || p_partkey")} AS mixed_short
+       |FROM part""".stripMargin
+  }
+
+  /** C2: object rendering when-chain over synthesized tagged literals. */
+  def q12FormatObject(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(
+        col("event_id"),
+        concat(lit("He said \""), col("event_type"), lit("\"")).as("lex"),
+        when(col("user_id") % 3 === 0, lit("en"))
+          .when(col("user_id") % 3 === 1, lit("fr"))
+          .otherwise(lit(null).cast("string")).as("lang"),
+        when(col("user_id") % 3 === 2 && col("event_id") % 2 === 0,
+          lit("http://www.w3.org/2001/XMLSchema#string"))
+          .otherwise(lit(null).cast("string")).as("dtype"),
+        lit("literal").as("kind")
+      )
+    e.select(
+      col("event_id"),
+      SparqlColumns.formatObject(col("lex"), col("lang"), col("dtype"), col("kind")).as("rendered")
+    )
+  }
+
+  val q12Sql: String =
+    """SELECT event_id,
+      |CASE
+      |  WHEN lang IS NOT NULL THEN '"' || esc || '"@' || lang
+      |  WHEN dtype IS NOT NULL THEN replace('"' || esc || '"^^' || dtype,
+      |       'http://www.w3.org/2001/XMLSchema#', 'xsd:')
+      |  ELSE '"' || esc || '"'
+      |END AS rendered
+      |FROM (
+      |  SELECT event_id,
+      |    replace('He said "' || event_type || '"', '"', '\"') AS esc,
+      |    CASE WHEN user_id % 3 = 0 THEN 'en'
+      |         WHEN user_id % 3 = 1 THEN 'fr' END AS lang,
+      |    CASE WHEN user_id % 3 = 2 AND event_id % 2 = 0
+      |         THEN 'http://www.w3.org/2001/XMLSchema#string' END AS dtype
+      |  FROM events)""".stripMargin
+
+  /** C3: BCE-date sentinel rewrite. */
+  def q13BceDates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        concat(lit("\"-"), lit(4000) + col("o_orderkey") % 1000,
+          lit("-01-01T00:00:00Z\"^^xsd:dateTime")).as("raw")
+      )
+      .select(col("o_orderkey"), SparqlColumns.preprocessBceDates(col("raw")).as("bce"))
+
+  val q13Sql: String =
+    """SELECT o_orderkey,
+      |regexp_replace('"-' || (4000 + o_orderkey % 1000) || '-01-01T00:00:00Z"^^xsd:dateTime',
+      |  '"-(\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z)"\^\^xsd:dateTime',
+      |  '"BCE_\1"', 'g') AS bce
+      |FROM orders""".stripMargin
+
+  /** C6: to_camel_case over the rank-phrase domain. */
+  def q14CamelCase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        when(col("event_type") === "click", lit("\"normal rank\""))
+          .when(col("event_type") === "view", lit("\"preferred rank\""))
+          .otherwise(lit("\"deprecated rank\"")).as("phrase")
+      )
+      .select(col("event_id"), SparqlColumns.toCamelCase(col("phrase")).as("camel"))
+
+  val q14Sql: String =
+    """SELECT event_id,
+      |CASE WHEN event_type='click' THEN 'NormalRank'
+      |     WHEN event_type='view' THEN 'PreferredRank'
+      |     ELSE 'DeprecatedRank' END AS camel
+      |FROM events""".stripMargin
+
+  /** C13: timezone normalization. */
+  def q15TzNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        SparqlColumns.normalizeTz(
+          concat(lit("\"2024-01-0"), lit(1) + col("event_id") % 9,
+            lit("T12:00:00+00:00\"^^xsd:dateTime"))
+        ).as("norm")
+      )
+
+  val q15Sql: String =
+    """SELECT event_id,
+      |replace('"2024-01-0' || (1 + event_id % 9) || 'T12:00:00+00:00"^^xsd:dateTime',
+      |        '+00:00', 'Z') AS norm
+      |FROM events""".stripMargin
+
+  /** J3 replacement: deterministic statement-id minting (content hash). */
+  def q16MintStatementId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        SparqlColumns.mintStatementId(
+          concat(lit("Q"), col("o_custkey")),
+          lit("P31"),
+          col("o_orderkey").cast("string")
+        ).as("statement_id")
+      )
+
+  val q16Sql: String =
+    """SELECT o_orderkey,
+      |'s:Q' || o_custkey || '-' || md5('Q' || o_custkey || '|' || 'P31' || '|' || o_orderkey)
+      |  AS statement_id
+      |FROM orders""".stripMargin
+
+  // --------------------------------------------------- KG pipeline queries
+
+  /** The byte-identity invariant as a query: html→text extraction must
+    * reproduce the text column exactly (compared by the oracle hash).
+    */
+  def q17ExtractText(s: SparkSession, dir: String): DataFrame = {
+    val pages = Tables.pages(s, dir)
+    KgPipeline.extractText(s, pages)
+      .toDF()
+      .select(col("url"), col("text"), col("lang"))
+  }
+
+  val q17Sql: String =
+    s"SELECT $urlSql AS url, text, lang FROM documents"
+
+  private def surfacesCte: String =
+    Dict.surfaces.map(su => s"('$su')").mkString("surfaces(surface) AS (VALUES ", ", ", ")")
+
+  private def aliasesCte: String =
+    Dict.aliases.map(a => s"('${a.surface}','${a.qid}',${a.prior})")
+      .mkString("aliases(surface, qid, prior) AS (VALUES ", ", ", ")")
+
+  private def docsCte: String =
+    s"docs AS (SELECT $urlSql AS url, text FROM documents)"
+
+  /** Mention scan (substring semantics — the SQL-checkable variant; the
+    * word-boundary variant runs inside the flagship pipeline).
+    */
+  def q18Mentions(s: SparkSession, dir: String): DataFrame = {
+    val pages = Tables.pages(s, dir)
+    Mentions.scan(s, pages, Dict.surfaces, wordBounds = false)
+      .groupBy(col("url"), col("surface"))
+      .agg(count(lit(1)).as("n_mentions"))
+  }
+
+  val q18Sql: String =
+    s"""WITH $docsCte, $surfacesCte
+       |SELECT d.url, s.surface,
+       |  CAST((length(d.text) - length(replace(d.text, s.surface, ''))) // length(s.surface) AS BIGINT)
+       |    AS n_mentions
+       |FROM docs d CROSS JOIN surfaces s
+       |WHERE length(d.text) - length(replace(d.text, s.surface, '')) > 0""".stripMargin
+
+  /** Entity linking: surfaces present in a doc → top-1 QID by (prior, qid). */
+  def q19LinkTop1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = Tables.pages(s, dir)
+    val present = Mentions.scan(s, pages, Dict.surfaces, wordBounds = false)
+      .select(col("url"), col("surface")).distinct()
+    val cands = present.join(broadcast(Dict.aliases.toDF()), Seq("surface"))
+    val w = Window.partitionBy(col("url"), col("surface"))
+      .orderBy(col("prior").desc, col("qid").asc)
+    cands.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("url"), col("surface"), col("qid"))
+  }
+
+  val q19Sql: String =
+    s"""WITH $docsCte, $aliasesCte,
+       |present AS (
+       |  SELECT DISTINCT d.url, a.surface FROM docs d JOIN aliases a
+       |  ON length(d.text) - length(replace(d.text, a.surface, '')) > 0)
+       |SELECT url, surface, qid FROM (
+       |  SELECT p.url, p.surface, a.qid,
+       |         row_number() OVER (PARTITION BY p.url, p.surface
+       |                            ORDER BY a.prior DESC, a.qid) AS rn
+       |  FROM present p JOIN aliases a ON p.surface = a.surface)
+       |WHERE rn = 1""".stripMargin
+
+  /** Triple extraction: entity co-occurrence pairs per page (canonicalized,
+    * deduped) — (wd:Qa, wdt:P1001, wd:Qb, url).
+    */
+  def q20Triples(s: SparkSession, dir: String): DataFrame = {
+    val linked = q19LinkTop1(s, dir).select(col("url"), col("qid")).distinct()
+    val l = linked.select(col("url"), col("qid").as("qid1"))
+    val r = linked.select(col("url"), col("qid").as("qid2"))
+    l.join(r, Seq("url"))
+      .filter(col("qid1") < col("qid2"))
+      .select(
+        concat(lit("wd:"), col("qid1")).as("subj"),
+        lit("wdt:" + Dict.properties("cooccurs_with")).as("pred"),
+        concat(lit("wd:"), col("qid2")).as("obj"),
+        col("url")
+      )
+      .distinct()
+  }
+
+  private val q19AsCte: String =
+    s"""linked AS (
+       |  SELECT url, surface, qid FROM (
+       |    SELECT p.url, p.surface, a.qid,
+       |           row_number() OVER (PARTITION BY p.url, p.surface
+       |                              ORDER BY a.prior DESC, a.qid) AS rn
+       |    FROM (SELECT DISTINCT d.url, a.surface FROM docs d JOIN aliases a
+       |          ON length(d.text) - length(replace(d.text, a.surface, '')) > 0) p
+       |    JOIN aliases a ON p.surface = a.surface)
+       |  WHERE rn = 1),
+       |ents AS (SELECT DISTINCT url, qid FROM linked)""".stripMargin
+
+  val q20Sql: String =
+    s"""WITH $docsCte, $aliasesCte, $q19AsCte
+       |SELECT DISTINCT 'wd:' || a.qid AS subj, 'wdt:${Dict.properties("cooccurs_with")}' AS pred,
+       |       'wd:' || b.qid AS obj, a.url
+       |FROM ents a JOIN ents b ON a.url = b.url AND a.qid < b.qid""".stripMargin
+
+  /** North-rule A4: windowed distinct over (subj, pred, obj, url) with a
+    * deterministic survivor — fed duplicated input to prove the collapse.
+    */
+  def q21DedupTriples(s: SparkSession, dir: String): DataFrame = {
+    val tr = q20Triples(s, dir)
+    val doubled = tr.unionByName(tr) // duplicate rows on purpose
+    Dedup.windowedDistinct(doubled, Seq("subj", "pred", "obj", "url"), "subj")
+  }
+
+  val q21Sql: String =
+    s"""WITH $docsCte, $aliasesCte, $q19AsCte,
+       |tr AS (
+       |  SELECT DISTINCT 'wd:' || a.qid AS subj, 'wdt:${Dict.properties("cooccurs_with")}' AS pred,
+       |         'wd:' || b.qid AS obj, a.url
+       |  FROM ents a JOIN ents b ON a.url = b.url AND a.qid < b.qid),
+       |doubled AS (SELECT * FROM tr UNION ALL SELECT * FROM tr)
+       |SELECT subj, pred, obj, url FROM (
+       |  SELECT subj, pred, obj, url,
+       |         row_number() OVER (PARTITION BY subj, pred, obj, url ORDER BY subj) AS rn
+       |  FROM doubled) WHERE rn = 1""".stripMargin
+
+  /** A2: SPARQL command emission (`INSERT DATA { s p o . };` grammar). */
+  def q22EmitCommands(s: SparkSession, dir: String): DataFrame =
+    q19LinkTop1(s, dir)
+      .select(
+        col("url"),
+        col("qid"),
+        SparqlColumns.command(
+          lit("INSERT"),
+          concat(lit("data:"), col("url")),
+          lit("schema:about"),
+          concat(lit("wd:"), col("qid"))
+        ).as("cmd")
+      )
+      .distinct()
+
+  val q22Sql: String =
+    s"""WITH $docsCte, $aliasesCte, $q19AsCte
+       |SELECT DISTINCT url, qid,
+       |  'INSERT DATA { data:' || url || ' schema:about wd:' || qid || ' . };' AS cmd
+       |FROM linked""".stripMargin
+
+  /** J1: the diff kernel over two corpus revisions (old = docs with
+    * doc_id % 7 != 0) — single-shuffle full-outer diff, op-tagged.
+    */
+  def q23TripleDiff(s: SparkSession, dir: String): DataFrame = {
+    val about = q19LinkTop1(s, dir)
+      .select(
+        concat(lit("data:"), col("url")).as("subj"),
+        lit("schema:about").as("pred"),
+        concat(lit("wd:"), col("qid")).as("obj"),
+        col("url")
+      )
+    val oldRev = about.filter(
+      expr("cast(regexp_extract(url, 'doc([0-9]+)$', 1) as bigint) % 7 != 0")
+    )
+    TripleDiff.diffOps(oldRev.drop("url"), about.drop("url"), Seq("subj", "pred", "obj"))
+  }
+
+  val q23Sql: String =
+    s"""WITH $docsCte, $aliasesCte, $q19AsCte,
+       |about AS (
+       |  SELECT DISTINCT 'data:' || url AS subj, 'schema:about' AS pred, 'wd:' || qid AS obj, url
+       |  FROM linked),
+       |oldrev AS (SELECT subj, pred, obj FROM about
+       |           WHERE CAST(regexp_extract(url, 'doc([0-9]+)$$', 1) AS BIGINT) % 7 != 0),
+       |newrev AS (SELECT subj, pred, obj FROM about)
+       |SELECT subj, pred, obj, 'INSERT' AS op FROM (SELECT * FROM newrev EXCEPT SELECT * FROM oldrev)
+       |UNION ALL
+       |SELECT subj, pred, obj, 'DELETE' AS op FROM (SELECT * FROM oldrev EXCEPT SELECT * FROM newrev)""".stripMargin
+
+  /** F1/F2: recentchanges-shaped filter chain (type + QID-title regex). */
+  def q24Changes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        concat(lit("Q"), col("user_id")).as("title"),
+        when(col("event_type") === "click", lit("edit"))
+          .when(col("event_type") === "purchase", lit("new"))
+          .otherwise(lit("log")).as("change_type")
+      )
+      .filter(col("change_type").isin("edit", "new") && col("title").rlike("^Q[0-9]+$"))
+      .groupBy(col("title"), col("change_type"))
+      .agg(count(lit(1)).as("n_changes"))
+
+  val q24Sql: String =
+    """SELECT title, change_type, count(*) AS n_changes FROM (
+      |  SELECT 'Q' || user_id AS title,
+      |         CASE WHEN event_type='click' THEN 'edit'
+      |              WHEN event_type='purchase' THEN 'new'
+      |              ELSE 'log' END AS change_type
+      |  FROM events)
+      |WHERE change_type IN ('edit','new') AND regexp_matches(title, '^Q[0-9]+$')
+      |GROUP BY title, change_type""".stripMargin
+
+  // ------------------------------------------------- training-data queries
+
+  /** Exact dedup over documents (hash-groupBy on the content digest). */
+  def q25DedupDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+
+  val q25Sql: String =
+    """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+      |CAST(min(doc_id) AS BIGINT) AS survivor_id, count(*) AS n_copies
+      |FROM documents GROUP BY fp""".stripMargin
+
+  /** ANN brute force, engine-independent scaled-integer scoring. */
+  def q29AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    val qB = s.sparkContext.broadcast(query)
+    emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, Sketches.scaledDot(v, qB.value)) }
+      .toDF("vec_id", "scaled_dot")
+      .orderBy(col("scaled_dot").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  val q29Sql: String = {
+    val terms = (1 to 64)
+      .map(i => s"CAST(floor(CAST(e.embedding[$i] AS DOUBLE)*1000) AS BIGINT)*" +
+        s"CAST(floor(CAST(q.embedding[$i] AS DOUBLE)*1000) AS BIGINT)")
+      .mkString(" + ")
+    s"""SELECT e.vec_id, ($terms) AS scaled_dot
+       |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |ORDER BY scaled_dot DESC, e.vec_id LIMIT 20""".stripMargin
+  }
+
+  /** Language ID heuristic (marker scoring, fixed priority order). */
+  def q30LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  val q30Sql: String = {
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    def score(l: String): String =
+      TextAnalysis.stopwords(l)
+        .map(w => s"(CASE WHEN contains(' ' || lower(text) || ' ', '${w}') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+    val scoreCols = langs.map(l => s"(${score(l)}) AS s_$l").mkString(", ")
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val pick = langs.foldRight("'und'") { (l, acc) =>
+      s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""SELECT doc_id, $pick AS lang_pred FROM (
+       |  SELECT doc_id, $scoreCols, $best AS best FROM (
+       |    SELECT doc_id, text, $scoreCols FROM documents))""".stripMargin
+  }
+
+  /** Quality scoring (scaled-integer ratios). */
+  def q31Quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)
+
+  val q31Sql: String =
+    """SELECT doc_id,
+      |CAST(length(text) AS BIGINT) AS n_chars,
+      |CAST(CASE WHEN trim(text)='' THEN 0
+      |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+      |CAST(CASE WHEN trim(text)='' THEN 0 ELSE
+      |  length(regexp_replace(text,'\s','','g'))*1000 //
+      |  len(regexp_split_to_array(trim(text),'\s+')) END AS BIGINT) AS mean_token_len_milli,
+      |CAST(CASE WHEN length(text)=0 THEN 0 ELSE
+      |  length(regexp_replace(text,'[^.,;:!?''"()-]','','g'))*1000 // length(text) END AS BIGINT)
+      |  AS punct_per_mille,
+      |CAST(CASE WHEN length(text)=0 THEN 0 ELSE
+      |  length(regexp_replace(text,'[^A-Z]','','g'))*1000 // length(text) END AS BIGINT)
+      |  AS upper_per_mille
+      |FROM documents""".stripMargin
+
+  /** Document fingerprinting (md5 content key + whitespace-token count). */
+  def q32Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")
+      )
+
+  val q32Sql: String =
+    """SELECT doc_id,
+      |md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+      |CAST(CASE WHEN trim(text)='' THEN 0
+      |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |FROM documents""".stripMargin
+
+  /** BPE-ish token counting (regex pre-tokenizer shape). */
+  def q34Tokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws")
+      )
+
+  val q34Sql: String =
+    s"""SELECT doc_id,
+       |CAST(len(regexp_extract_all(text, '${TextAnalysis.bpeishPattern}')) AS BIGINT)
+       |  AS n_bpeish,
+       |CAST(CASE WHEN trim(text)='' THEN 0
+       |     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_ws
+       |FROM documents""".stripMargin
+
+  /** Streaming-shaped hourly tumbling-window aggregation (batch form). */
+  def q35HourlyWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  val q35Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+      |count(*) AS n_events FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Per-partition lineage rows (manifest shape: part key, counts, bounds). */
+  def q36Lineage(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy((col("doc_id") % 32).cast("bigint").as("part_key"))
+      .agg(
+        count(lit(1)).as("rows_in"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc")
+      )
+
+  val q36Sql: String =
+    """SELECT CAST(doc_id % 32 AS BIGINT) AS part_key, count(*) AS rows_in,
+      |CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Sessionization: custom per-key state (flatMapGroups) cross-checked
+    * against the SQL lag/cumsum formulation.
+    */
+  def q39Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamIngest.sessionize(s, t(s, dir, "events"), gapMinutes = 30)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events").cast("bigint").as("n_events"))
+
+  val q39Sql: String =
+    """SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |count(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+      |           WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      |                > 30*60*1000 THEN 1
+      |           ELSE 0 END AS new_sess
+      |    FROM events))
+      |GROUP BY user_id, sess_id""".stripMargin
+
+  // --------------------------------------------- rows-only checked queries
+
+  /** MinHash+LSH near-dup candidate pairs (not SQL-expressible — rows-only). */
+  def q26MinHashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minHashSignatures(s, t(s, dir, "documents"), "doc_id", "text")
+    Dedup.minHashCandidates(s, sigs, bands = 16, minEstJaccard = 0.5)
+      .select(col("id1"), col("id2"))
+  }
+
+  /** SimHash near-dup pairs (rows-only). */
+  def q27SimHashPairs(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Dedup.simHashes(s, t(s, dir, "documents"), "doc_id", "text")
+    Dedup.simHashPairs(s, hashes, maxHamming = 3).select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** n-gram Jaccard verification over LSH candidates (rows-only). */
+  def q28JaccardVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = Dedup.minHashSignatures(s, docs, "doc_id", "text")
+    val cands = Dedup.minHashCandidates(s, sigs, bands = 16, minEstJaccard = 0.3)
+    Dedup.verifyJaccard(s, docs, "doc_id", "text", cands, shingleN = 5, minJaccard = 0.6)
+      .select(col("id1"), col("id2"))
+  }
+
+  /** Multimodal metadata extraction over the binary column (rows-only). */
+  def q33Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMeta(s, Tables.pages(s, dir)).toDF()
+
+  /** LSH-bucketed ANN (rows-only; recall vs q29 asserted in tests). */
+  def q37AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
+    Ann.lshTopK(s, emb, "vec_id", "embedding", query, k = 20)
+  }
+
+  /** Embedding-cosine near-dup pairs (rows-only). */
+  def q38EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairs(s, t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.95)
+
+  /** Full KG pipeline output (rows-only; covered piecewise by q17-q23). */
+  def q40Pipeline(s: SparkSession, dir: String): DataFrame =
+    KgPipeline.run(s, dir, numPartitions = s.sparkContext.defaultParallelism)
+
+  // ----------------------------------------------------------------- maps
+
+  val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q01_scan_filter" -> ((q01ScanFilter _, q01Sql)),
+    "q02_topk" -> ((q02TopK _, q02Sql)),
+    "q03_agg" -> ((q03Agg _, q03Sql)),
+    "q04_join_regions" -> ((q04JoinRegions _, q04Sql)),
+    "q05_anti_join" -> ((q05AntiJoin _, q05Sql)),
+    "q06_semi_join" -> ((q06SemiJoin _, q06Sql)),
+    "q07_union" -> ((q07Union _, q07Sql)),
+    "q08_except" -> ((q08Except _, q08Sql)),
+    "q09_window_topk" -> ((q09WindowTopK _, q09Sql)),
+    "q10_dedup_exact" -> ((q10DedupExact _, q10Sql)),
+    "q11_prefix_replace" -> ((q11PrefixReplace _, q11Sql)),
+    "q12_format_object" -> ((q12FormatObject _, q12Sql)),
+    "q13_bce_dates" -> ((q13BceDates _, q13Sql)),
+    "q14_camel_case" -> ((q14CamelCase _, q14Sql)),
+    "q15_tz_normalize" -> ((q15TzNormalize _, q15Sql)),
+    "q16_mint_statement" -> ((q16MintStatementId _, q16Sql)),
+    "q17_extract_text" -> ((q17ExtractText _, q17Sql)),
+    "q18_mentions" -> ((q18Mentions _, q18Sql)),
+    "q19_link_top1" -> ((q19LinkTop1 _, q19Sql)),
+    "q20_triples" -> ((q20Triples _, q20Sql)),
+    "q21_dedup_triples" -> ((q21DedupTriples _, q21Sql)),
+    "q22_emit_commands" -> ((q22EmitCommands _, q22Sql)),
+    "q23_triple_diff" -> ((q23TripleDiff _, q23Sql)),
+    "q24_changes" -> ((q24Changes _, q24Sql)),
+    "q25_dedup_docs" -> ((q25DedupDocs _, q25Sql)),
+    "q29_ann_brute" -> ((q29AnnBrute _, q29Sql)),
+    "q30_langid" -> ((q30LangId _, q30Sql)),
+    "q31_quality" -> ((q31Quality _, q31Sql)),
+    "q32_fingerprint" -> ((q32Fingerprint _, q32Sql)),
+    "q34_tokens" -> ((q34Tokens _, q34Sql)),
+    "q35_hourly_window" -> ((q35HourlyWindow _, q35Sql)),
+    "q36_lineage" -> ((q36Lineage _, q36Sql)),
+    "q39_sessionize" -> ((q39Sessionize _, q39Sql))
+  )
+
+  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_minhash_pairs" -> (q26MinHashPairs _),
+    "q27_simhash_pairs" -> (q27SimHashPairs _),
+    "q28_jaccard_verify" -> (q28JaccardVerify _),
+    "q33_multimodal_meta" -> (q33Multimodal _),
+    "q37_ann_lsh" -> (q37AnnLsh _),
+    "q38_embed_neardup" -> (q38EmbedNearDup _),
+    "q40_pipeline" -> (q40Pipeline _)
+  )
+}

@@ -1,0 +1,150 @@
+package graft.functions
+
+/** Pure sketch primitives for near-duplicate detection: shingling, MinHash,
+  * SimHash, n-gram Jaccard. Deterministic (fixed hash-family seeds), no
+  * Spark dependency — the distributed operators in graft.operators.Dedup
+  * call these inside codegen-adjacent typed maps, and the unit tests pin
+  * their behavior exactly.
+  */
+object Sketches {
+
+  /** Character n-gram shingles of the whitespace-normalized, lowercased text. */
+  def shingles(text: String, n: Int): Set[String] = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (norm.length < n) if (norm.isEmpty) Set.empty else Set(norm)
+    else (0 to norm.length - n).map(i => norm.substring(i, i + n)).toSet
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: String, n: Int): Set[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) toks.toSet
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** 64-bit FNV-1a — stable, engine-independent string hash. */
+  def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Deterministic (a, b) parameters of the universal hash family, seeded. */
+  def hashFamily(numHashes: Int): Array[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(numHashes)((math.abs(rng.nextLong()) % MersennePrime + 1,
+                           math.abs(rng.nextLong()) % MersennePrime))
+  }
+
+  /** MinHash signature over the shingle set: for each (a,b) in the family,
+    * min over shingles of (a*h + b) mod p. Empty set → all Long.MaxValue.
+    */
+  def minHash(sh: Set[String], family: Array[(Long, Long)]): Array[Long] = {
+    val hs = sh.iterator.map(s => math.abs(fnv1a(s)) % MersennePrime).toArray
+    family.map { case (a, b) =>
+      if (hs.isEmpty) Long.MaxValue
+      else {
+        var m = Long.MaxValue
+        var i = 0
+        while (i < hs.length) {
+          // (a*h+b) mod p without overflow: a,h < 2^61 — use Math.multiplyHigh-free
+          // BigInt-avoiding split multiply
+          val v = mulMod(a, hs(i), MersennePrime) + b
+          val vm = v % MersennePrime
+          if (vm < m) m = vm
+          i += 1
+        }
+        m
+      }
+    }
+  }
+
+  /** (a*b) mod m for a,b < 2^62 via 128-bit split multiply. */
+  def mulMod(a: Long, b: Long, m: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // 128-bit remainder via BigInteger only when hi != 0 would be slow;
+    // use unsigned long division loop-free: fall back to BigInt rarely.
+    if (hi == 0 && lo >= 0) lo % m
+    else {
+      val bi = (BigInt(a) * BigInt(b)) % BigInt(m)
+      bi.longValue
+    }
+  }
+
+  /** LSH band keys: signature split into `bands` bands of `rows` rows; key =
+    * (bandIdx, hash of the band slice). Near-dup candidates = pairs sharing
+    * any band key — the shuffle key of the distributed join.
+    */
+  def bandKeys(sig: Array[Long], bands: Int): Array[(Int, Long)] = {
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      val slice = sig.slice(b * rows, (b + 1) * rows)
+      (b, fnv1a(slice.mkString(",")))
+    }
+  }
+
+  /** 64-bit SimHash over word features. */
+  def simHash(text: String): Long = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = fnv1a(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Exact Jaccard over two shingle sets. */
+  def jaccard(a: Set[String], b: Set[String]): Double = {
+    if (a.isEmpty && b.isEmpty) 1.0
+    else (a & b).size.toDouble / (a | b).size.toDouble
+  }
+
+  /** Estimated Jaccard from two MinHash signatures. */
+  def estJaccard(s1: Array[Long], s2: Array[Long]): Double =
+    s1.zip(s2).count { case (x, y) => x == y }.toDouble / s1.length
+
+  /** Scaled-integer cosine similarity between float vectors: each component
+    * floored to milli-units, dot/norms in exact integer arithmetic — the
+    * engine-independent form used by the ANN oracle queries (floor never
+    * ties, unlike round, so Spark and DuckDB agree bit-for-bit).
+    */
+  def scaledDot(a: Array[Float], b: Array[Float]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length && i < b.length) {
+      s += math.floor(a(i) * 1000.0).toLong * math.floor(b(i) * 1000.0).toLong
+      i += 1
+    }
+    s
+  }
+
+  /** Plain double cosine for Scala-side use (tests, brute-force ANN). */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length && i < b.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline: language ID,
+  * quality scoring, token counting, fingerprinting. All Column-level
+  * (codegen'd) except the character-profile langid fallback which is a pure
+  * Scala function usable inside typed maps.
+  *
+  * Everything here avoids SUM(double)-style order-dependent float
+  * aggregation: ratios are emitted as scaled BIGINTs so results are
+  * bit-stable across partitionings and engines (important both for the
+  * DuckDB oracle and for deterministic re-runs at 1000-executor scale).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count: robust to runs of whitespace and leading/
+    * trailing space; 0 for empty/blank text.
+    */
+  def tokenCount(text: Column): Column =
+    when(trim(text) === "", lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("bigint"))
+
+  /** BPE-ish subword-shaped token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (the common pre-tokenizer
+    * shape; RE2/Java-compatible pattern so the DuckDB oracle matches).
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast("bigint")
+
+  /** Quality metrics, scaled-integer form:
+    *  - nChars, nTokens
+    *  - meanTokenLenMilli = 1000 * (chars-without-spaces) / tokens
+    *  - punctPerMille     = 1000 * punctuation chars / chars
+    *  - upperPerMille     = 1000 * uppercase chars / chars
+    * Integer division keeps results exact in any engine.
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val nChars = length(text).cast("bigint")
+    val nTokens = tokenCount(text)
+    val nonSpace = length(regexp_replace(text, "\\s", "")).cast("bigint")
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("bigint")
+    val upper = length(regexp_replace(text, "[^A-Z]", "")).cast("bigint")
+    Seq(
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      when(nTokens === 0, lit(0L))
+        .otherwise(nonSpace * 1000L / nTokens).cast("bigint").as("mean_token_len_milli"),
+      when(nChars === 0, lit(0L))
+        .otherwise(punct * 1000L / nChars).cast("bigint").as("punct_per_mille"),
+      when(nChars === 0, lit(0L))
+        .otherwise(upper * 1000L / nChars).cast("bigint").as("upper_per_mille")
+    )
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercased text — the
+    * exact-dedup key. (A rolling-hash shingle fingerprint for near-dup lives
+    * in graft.functions.Sketches.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Stopword marker lists per language for the n-gram/stopword langid
+    * heuristic. Deliberately tiny — the point is the distributed shape
+    * (per-row scoring against a broadcast-able constant), not NLP quality.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " und ", " das ", " ist "),
+    "fr" -> Seq(" le ", " et ", " les ", " est "),
+    "es" -> Seq(" el ", " y ", " los ", " es "),
+    "zh" -> Seq("的", "是", "了", "在")
+  )
+
+  /** Column-level langid: score = number of marker hits per language, argmax
+    * with 'en' fallback. Expressed as a when-chain over greatest() so it
+    * stays codegen'd; mirrors langIdScala below.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    def score(lang: String): Column =
+      stopwords(lang)
+        .map(w => when(padded.contains(w), 1).otherwise(0))
+        .reduce(_ + _)
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val scores = langs.map(l => l -> score(l))
+    val best = greatest(scores.map(_._2): _*)
+    // first language (in fixed langs order) achieving the max; all-zero → "und"
+    scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Pure-Scala mirror of langId for typed-map stages and unit tests. */
+  def langIdScala(text: String): String = {
+    val padded = " " + text.toLowerCase + " "
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val scores = langs.map(l => l -> stopwords(l).count(padded.contains))
+    val best = scores.map(_._2).max
+    if (best == 0) "und" else scores.find(_._2 == best).get._1
+  }
+
+  /** Rolling polynomial hash (base 31, mod 2^61-1) of the normalized text —
+    * deterministic doc fingerprint usable for shingling.
+    */
+  def rollingHash(s: String): Long = {
+    val M = (1L << 61) - 1
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      // multiply mod M via math.BigInt-free splitting is overkill at base 31:
+      h = (h * 31 + s.charAt(i)) % M
+      i += 1
+    }
+    h
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Sketches
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  *  - bruteForceTopK: exact cosine top-k against one query vector — a single
+  *    narrow map + TakeOrderedAndProject; the baseline and the verifier.
+  *  - lshTopK: random-hyperplane LSH buckets (SimHash for vectors) — the
+  *    scale path: each query probes only its bucket (and neighbors), so the
+  *    scored set is a small fraction of the corpus. Buckets are a plain
+  *    groupable column ⇒ co-located joins, no custom physical operator.
+  *  - nearDupPairs: embedding-cosine near-duplicate detection via the same
+  *    bucket join shape as Dedup.minHashCandidates.
+  */
+object Ann {
+
+  /** Deterministic random hyperplanes (seeded), dim × nPlanes. */
+  def hyperplanes(dim: Int, nPlanes: Int): Array[Array[Double]] = {
+    val rng = new scala.util.Random(7)
+    Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  def signBits(v: Array[Float], planes: Array[Array[Double]]): Long = {
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      var dot = 0.0
+      var i = 0
+      val pl = planes(p)
+      while (i < v.length && i < pl.length) { dot += v(i) * pl(i); i += 1 }
+      if (dot >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  /** Exact top-k by cosine against `query`. Deterministic tiebreak on id.
+    * The per-row score is a narrow map; ordering uses scaled-integer cosine
+    * components so results are bit-stable (see Sketches.scaledDot).
+    */
+  def bruteForceTopK(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val q = spark.sparkContext.broadcast(query)
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, Sketches.cosine(v, q.value)) }
+      .toDF("id", "cosine")
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Bucketed ANN: assign every vector (and the query) a hyperplane
+    * signature; scan only vectors sharing the signature bucket or differing
+    * in ≤ 1 bit (multi-probe). Falls back to fewer results if the bucket is
+    * sparse — standard recall/cost tradeoff.
+    */
+  def lshTopK(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      nPlanes: Int = 12
+  ): DataFrame = {
+    import spark.implicits._
+    val dim = query.length
+    val planes = spark.sparkContext.broadcast(hyperplanes(dim, nPlanes))
+    val qSig = signBits(query, planes.value)
+    val probes = (qSig +: (0 until nPlanes).map(b => qSig ^ (1L << b))).toSet
+    val probesB = spark.sparkContext.broadcast(probes)
+    val q = spark.sparkContext.broadcast(query)
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val pl = planes.value; val pr = probesB.value; val qv = q.value
+        it.flatMap { case (id, v) =>
+          if (pr.contains(signBits(v, pl))) Some((id, Sketches.cosine(v, qv))) else None
+        }
+      }
+      .toDF("id", "cosine")
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via bucket self-join. */
+  def nearDupPairs(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.95,
+      nPlanes: Int = 12
+  ): DataFrame = {
+    import spark.implicits._
+    val first = embeddings.select(col(vecCol)).as[Array[Float]].head()
+    val planes = spark.sparkContext.broadcast(hyperplanes(first.length, nPlanes))
+    val bucketed = embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, signBits(v, planes.value), v) }
+      .toDF("id", "bucket", "v")
+    val l = bucketed.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
+    val r = bucketed.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (a, b, v1, v2) => (a, b, Sketches.cosine(v1, v2)) }
+      .toDF("id1", "id2", "cosine")
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Window top-k per probe group — the generic "k nearest per query" shape
+    * for batched multi-query search (Window.partitionBy(query).orderBy desc).
+    */
+  def topKPerGroup(scored: DataFrame, groupCol: String, scoreCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

