@@ -689,7 +689,7 @@ object Queries {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
-    Ann.lshTopK(s, emb, "vec_id", "embedding", query, k = 20)
+    Ann.lshTopK(s, emb, "vec_id", "embedding", query, k = 20, nPlanes = 5)
   }
 
   /** Embedding-cosine near-dup pairs (rows-only). */

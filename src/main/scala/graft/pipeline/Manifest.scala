@@ -29,11 +29,12 @@ object Manifest {
   def partKey(urlCol: org.apache.spark.sql.Column, nParts: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(urlCol), lit(nParts.toLong))
 
-  /** Order-independent fingerprint of a partition's input rows: sum of
-    * per-row 64-bit hashes (commutative ⇒ stable under any scan order).
+  /** Order-independent fingerprint of a partition's input rows: bitwise XOR
+    * of per-row 64-bit hashes — commutative (stable under any scan order) and
+    * overflow-free under ANSI mode, unlike a sum.
     */
   def fingerprintCol(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
-    sum(xxhash64(cols: _*))
+    bit_xor(xxhash64(cols: _*))
 
   def readManifest(spark: SparkSession, manifestPath: String): DataFrame = {
     val p = new java.io.File(manifestPath)

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.model.{Alias, Dict, Page}
+import graft.sources.Tables
+import graft.text.HtmlCodec
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  test("pages synthesis: byte-identity invariant holds for every url at sf0.001") {
+    import spark.implicits._
+    val bad = Tables.pages(spark, sfDir)
+      .map(p => if (HtmlCodec.extract(p.html) == p.text) 0 else 1)
+      .reduce(_ + _)
+    assert(bad == 0)
+  }
+
+  test("mention scan matches driver-side brute force on a sample page") {
+    import spark.implicits._
+    val pages = Tables.pages(spark, sfDir).limit(20).cache()
+    val got = Mentions.scan(spark, pages, Dict.surfaces, wordBounds = false)
+      .map(m => (m.url, m.surface, m.begin)).collect().toSet
+    val want = pages.collect().flatMap { p =>
+      Dict.surfaces.flatMap { su =>
+        (0 to p.text.length - su.length)
+          .filter(i => p.text.startsWith(su, i))
+          .map(i => (p.url, su, i))
+      }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("word-bound mentions never split tokens") {
+    import spark.implicits._
+    val pages = Tables.pages(spark, sfDir).limit(20)
+    val ms = Mentions.scan(spark, pages, Dict.surfaces, wordBounds = true).collect()
+    assert(ms.nonEmpty)
+    val byUrl = pages.collect().map(p => p.url -> p.text).toMap
+    ms.foreach { m =>
+      val t = byUrl(m.url)
+      assert(t.substring(m.begin, m.end) == m.surface)
+      assert(m.begin == 0 || !t.charAt(m.begin - 1).isLetterOrDigit)
+      assert(m.end == t.length || !t.charAt(m.end).isLetterOrDigit)
+    }
+  }
+
+  test("linking: ambiguous surface resolves to highest-prior qid, salted join agrees with plain") {
+    import spark.implicits._
+    val pages = Tables.pages(spark, sfDir).limit(50)
+    val mentions = Mentions.scan(spark, pages, Dict.surfaces, wordBounds = true)
+    val top1 = Linking.topK(Linking.candidates(spark, mentions, Dict.aliases), 1)
+    val tableRows = top1.filter(col("surface") === "table").select("qid").distinct().collect()
+    assert(tableRows.map(_.getString(0)).toSeq == Seq("Q1013")) // prior 0.7 beats 0.3
+
+    val dim = Dict.aliases.toDF()
+    val plain = mentions.toDF().join(dim, Seq("surface"))
+      .select("url", "begin", "qid").collect().toSet
+    val salted = Linking.saltedJoin(mentions.toDF(), dim, salt = 4)
+      .select("url", "begin", "qid").collect().toSet
+    assert(plain == salted && plain.nonEmpty)
+  }
+
+  test("triple diff: added/removed/diffOps consistent, A\\A empty") {
+    import spark.implicits._
+    val a = Seq(("E1", "s1", "p", "o1"), ("E1", "s1", "p", "o2"), ("E2", "s2", "p", "o3"))
+      .toDF("entity", "subj", "pred", "obj")
+    val b = Seq(("E1", "s1", "p", "o1"), ("E1", "s1", "p", "o9"))
+      .toDF("entity", "subj", "pred", "obj")
+    val keys = Seq("entity", "subj", "pred", "obj")
+    assert(TripleDiff.added(b, a, keys).collect().map(_.getString(3)).toSet == Set("o9"))
+    assert(TripleDiff.removed(b, a, keys).collect().map(_.getString(3)).toSet == Set("o2", "o3"))
+    val ops = TripleDiff.diffOps(a, b, keys).collect()
+      .map(r => (r.getAs[String]("obj"), r.getAs[String]("op"))).toSet
+    assert(ops == Set(("o9", "INSERT"), ("o2", "DELETE"), ("o3", "DELETE")))
+    assert(TripleDiff.diffOps(a, a, keys).count() == 0)
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "text", "doc_id").collect()
+      .map(r => (r.getAs[Long]("survivor_id"), r.getAs[Long]("n_copies"))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds the planted near-duplicate, not the unrelated doc") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token5 ", "token5x ")
+    val other = (1 to 200).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(spark, docs, "doc_id", "text")
+    val pairs = Dedup.minHashCandidates(spark, sigs, bands = 16, minEstJaccard = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // exact verification keeps the pair
+    val verified = Dedup.verifyJaccard(spark, docs, "doc_id", "text",
+      Seq((1L, 2L)).toDF("id1", "id2"), shingleN = 5, minJaccard = 0.8).count()
+    assert(verified == 1)
+  }
+
+  test("simhash near-dup pairs: hamming bound respected and planted dup found") {
+    import spark.implicits._
+    val base = (1 to 300).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w7 ", "w7x ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+    val hashes = Dedup.simHashes(spark, docs, "doc_id", "text")
+    val pairs = Dedup.simHashPairs(spark, hashes, maxHamming = 6).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 6))
+  }
+
+  test("ANN: LSH top-k ⊆ high recall vs brute force; query vec is its own nearest") {
+    import spark.implicits._
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Array[Float]].head()
+    val brute = Ann.bruteForceTopK(spark, emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0))
+    assert(brute.head == 0L) // self-similarity = 1.0 tops the list
+    // plane count scales with corpus size: ~log2(N / bucketTarget); 4 planes
+    // for 500 vectors ≈ 30/bucket (the default 12 targets ≥10^6 vectors)
+    val lsh = Ann.lshTopK(spark, emb, "vec_id", "embedding", q, 10, nPlanes = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(lsh.contains(0L))
+    // recall of LSH against brute-force top-10 should be non-trivial
+    assert(brute.count(lsh.contains) >= 3)
+  }
+
+  test("multimodal metadata: deterministic stub decode over binary column") {
+    val pages = Tables.pages(spark, sfDir).limit(10)
+    val meta = Multimodal.extractMeta(spark, pages).collect()
+    assert(meta.length == 10)
+    meta.foreach { m =>
+      assert(m.n_bytes > 0 && m.magic.startsWith("<!DOCTYPE"))
+      assert(m.width >= 16 && m.height >= 9)
+    }
+    val frames = Multimodal.sampleFrames(spark, pages).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Int]("frame_idx") % 4 == 0))
+  }
+}
