@@ -43,10 +43,28 @@ object KgPipeline {
     })
   }
 
-  /** Linked top-1 entities per mention occurrence. */
+  /** Linked top-1 entities per mention occurrence, with warc_ts carried
+    * through the scan — one pass over the pages, html touched exactly once
+    * (no join back to the page table, which would rescan the binary column).
+    */
   def linkedMentions(spark: SparkSession, pages: Dataset[Page]): DataFrame = {
-    val mentions = Mentions.scan(spark, pages, Dict.surfaces, wordBounds = true)
-    val cands = Linking.candidates(spark, mentions, Dict.aliases)
+    import spark.implicits._
+    val trie = spark.sparkContext.broadcast(graft.text.AhoCorasick.build(Dict.surfaces))
+    val mismatches = spark.sparkContext.longAccumulator("extract_mismatches")
+    val mentions = pages
+      .flatMap { p =>
+        val text = HtmlCodec.extract(p.html)
+        if (text != p.text) mismatches.add(1)
+        trie.value.scan(text, wordBounds = true).map { m =>
+          (p.url, p.warc_ts, m.pattern, m.begin)
+        }
+      }
+      .toDF("url", "warc_ts", "surface", "begin")
+    import org.apache.spark.sql.functions.broadcast
+    val cands = mentions
+      .join(broadcast(Dict.aliases.toDF()), Seq("surface"))
+      .select(col("url"), col("warc_ts"), col("surface"), col("begin"),
+        col("qid"), col("prior").as("score"))
     Linking.topK(cands, 1)
   }
 
@@ -59,10 +77,6 @@ object KgPipeline {
     */
   def triples(spark: SparkSession, pages: Dataset[Page], maxGap: Int = 30): DataFrame = {
     val linked = linkedMentions(spark, pages)
-      .join(
-        pages.select(col("url"), col("warc_ts")),
-        Seq("url")
-      )
     val about = linked.select(
       concat(lit("data:"), col("url")).as("subj"),
       lit("schema:about").as("pred"),
@@ -90,13 +104,16 @@ object KgPipeline {
   }
 
   /** Windowed distinct over (subj, pred, obj, url) with earliest-ts survivor
-    * (north_rule A4).
+    * (north_rule A4). Expressed as an aggregate (min over the only non-key
+    * column) rather than a row_number window: identical rows out, but the
+    * hash aggregate combines map-side, so the shuffle moves one row per key
+    * instead of one per duplicate — the difference between shuffling ~N
+    * mentions and ~N/dup-factor triples at 100 TB. (The general survivor
+    * pick for arbitrary payload columns is Dedup.windowedDistinct.)
     */
-  def dedupTriples(t: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("subj"), col("pred"), col("obj"), col("url"))
-      .orderBy(col("ts").asc)
-    t.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-  }
+  def dedupTriples(t: DataFrame): DataFrame =
+    t.groupBy(col("subj"), col("pred"), col("obj"), col("url"))
+      .agg(min(col("ts")).as("ts"))
 
   /** Full pipeline → deduped canonical triples. */
   def run(spark: SparkSession, dir: String, numPartitions: Int = 32): DataFrame = {
