@@ -656,6 +656,109 @@ object Queries {
       |    FROM events))
       |GROUP BY user_id, sess_id""".stripMargin
 
+  /** F4+F5: owl-namespace and foreign/property-subject triple filters
+    * (ttl_compare.py:211-228) over synthesized triples.
+    */
+  def q41TripleFilters(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events").select(
+      col("event_id"),
+      when(col("event_id") % 5 === 0, lit("http://www.w3.org/2002/07/owl#someValuesFrom"))
+        .otherwise(concat(lit("wdt:P"), col("user_id"))).as("pred"),
+      when(col("event_id") % 3 === 0, lit("wd:Q42"))
+        .when(col("event_id") % 3 === 1, concat(lit("wd:Q"), col("user_id") + 100))
+        .otherwise(concat(lit("wd:P"), col("user_id"))).as("subj"),
+      lit("wd:Q5").as("obj")
+    )
+    raw
+      .filter(SparqlColumns.owlFree(col("subj"), col("pred"), col("obj")))
+      .filter(SparqlColumns.subjectAllowed(col("subj"), lit("Q42")))
+      .select(col("event_id"), col("subj"), col("pred"))
+  }
+
+  val q41Sql: String =
+    """SELECT event_id, subj, pred FROM (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 5 = 0 THEN 'http://www.w3.org/2002/07/owl#someValuesFrom'
+      |         ELSE 'wdt:P' || user_id END AS pred,
+      |    CASE WHEN event_id % 3 = 0 THEN 'wd:Q42'
+      |         WHEN event_id % 3 = 1 THEN 'wd:Q' || (user_id + 100)
+      |         ELSE 'wd:P' || user_id END AS subj,
+      |    'wd:Q5' AS obj
+      |  FROM events)
+      |WHERE subj NOT LIKE '%/owl#%' AND pred NOT LIKE '%/owl#%' AND obj NOT LIKE '%/owl#%'
+      |  AND (subj NOT LIKE 'wd:Q%' OR subj = 'wd:Q42')
+      |  AND subj NOT LIKE 'wd:P%'""".stripMargin
+
+  /** J2: change↔snapshot pairing — each change joins its old and new
+    * snapshots by (entity, revision); old_revid==0 resolves to the empty
+    * snapshot (new-entity path, ttl_compare.py:339-340) via coalesce.
+    */
+  def q42ChangeSnapshots(s: SparkSession, dir: String): DataFrame = {
+    val changes = t(s, dir, "events").select(
+      concat(lit("Q"), col("user_id")).as("entity"),
+      col("event_id").as("revid"),
+      when(col("event_type") === "purchase", lit(0L)).otherwise(col("event_id") - 1).as("old_revid")
+    )
+    val snapshots = t(s, dir, "events").select(
+      concat(lit("Q"), col("user_id")).as("s_entity"),
+      col("event_id").as("s_revid"),
+      concat(lit("doc-"), col("user_id"), lit("-"), col("event_id")).as("doc")
+    )
+    changes
+      .join(snapshots,
+        col("entity") === col("s_entity") && col("revid") === col("s_revid"), "inner")
+      .withColumnRenamed("doc", "new_doc").drop("s_entity", "s_revid")
+      .join(snapshots,
+        col("entity") === col("s_entity") && col("old_revid") === col("s_revid"), "left_outer")
+      .select(
+        col("entity"), col("revid"), col("old_revid"), col("new_doc"),
+        coalesce(col("doc"), lit("")).as("old_doc")
+      )
+  }
+
+  val q42Sql: String =
+    """WITH changes AS (
+      |  SELECT 'Q' || user_id AS entity, event_id AS revid,
+      |         CASE WHEN event_type='purchase' THEN 0 ELSE event_id - 1 END AS old_revid
+      |  FROM events),
+      |snapshots AS (
+      |  SELECT 'Q' || user_id AS s_entity, event_id AS s_revid,
+      |         'doc-' || user_id || '-' || event_id AS doc
+      |  FROM events)
+      |SELECT c.entity, CAST(c.revid AS BIGINT) AS revid, CAST(c.old_revid AS BIGINT) AS old_revid,
+      |       n.doc AS new_doc, coalesce(o.doc, '') AS old_doc
+      |FROM changes c
+      |JOIN snapshots n ON c.entity = n.s_entity AND c.revid = n.s_revid
+      |LEFT JOIN snapshots o ON c.entity = o.s_entity AND c.old_revid = o.s_revid""".stripMargin
+
+  /** A3/C14: new-entity INSERT synthesis from nested entity JSON docs
+    * (from_json + explode + 6-way type dispatch + per-entity fold).
+    */
+  def q43NewEntity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "customer").select(
+      concat(
+        lit("""{"id":"Q"""), col("c_custkey"),
+        lit("""","labels":{"en":{"language":"en","value":""""), col("c_name"),
+        lit(""""}},"claims":{"P31":[{"mainsnak":{"datavalue":{"type":"wikibase-entityid","value":{"id":"Q5"}}}}],"P2067":[{"mainsnak":{"datavalue":{"type":"quantity","value":{"amount":"+"""),
+        col("c_custkey") % 100,
+        lit(""""}}}}]}}""")
+      ).as("doc")
+    )
+    NewEntityRdf.fromJson(s, docs, "doc").withColumnRenamed("id", "entity")
+  }
+
+  // claims sort by (pid, pos) in the distributed fold, so P2067 < P31
+  // lexicographically → P31 is the last line and carries the terminal '.'
+  val q43Sql: String =
+    """SELECT 'Q' || c_custkey AS entity,
+      |'INSERT DATA {' || chr(10) ||
+      |'  wd:Q' || c_custkey || ' a schema:Thing ;' || chr(10) ||
+      |'    schema:name "' || c_name || '"@en ;' || chr(10) ||
+      |'    wdt:P2067 "+' || (c_custkey % 100) || '"^^xsd:decimal ;' || chr(10) ||
+      |'    wdt:P31 wd:Q5 .' || chr(10) ||
+      |'};' || chr(10) AS insert_block
+      |FROM customer""".stripMargin
+
   // --------------------------------------------- rows-only checked queries
 
   /** MinHash+LSH near-dup candidate pairs (not SQL-expressible — rows-only). */
@@ -735,7 +838,10 @@ object Queries {
     "q34_tokens" -> ((q34Tokens _, q34Sql)),
     "q35_hourly_window" -> ((q35HourlyWindow _, q35Sql)),
     "q36_lineage" -> ((q36Lineage _, q36Sql)),
-    "q39_sessionize" -> ((q39Sessionize _, q39Sql))
+    "q39_sessionize" -> ((q39Sessionize _, q39Sql)),
+    "q41_triple_filters" -> ((q41TripleFilters _, q41Sql)),
+    "q42_change_snapshots" -> ((q42ChangeSnapshots _, q42Sql)),
+    "q43_new_entity" -> ((q43NewEntity _, q43Sql))
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(

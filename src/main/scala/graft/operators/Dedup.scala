@@ -70,20 +70,29 @@ object Dedup {
       minEstJaccard: Double = 0.5
   ): DataFrame = {
     import spark.implicits._
+    // band the ids only — the bucket self-join and pair-dedup shuffles move
+    // 16-byte pairs, not 8 KB signature arrays (64 hashes × 8 B × 16 bands);
+    // signatures are joined back once per surviving pair
     val banded = sigs
       .as[(Long, Array[Long])]
       .flatMap { case (id, sig) =>
-        Sketches.bandKeys(sig, bands).map { case (b, k) => (id, b, k, sig) }
+        Sketches.bandKeys(sig, bands).map { case (b, k) => (id, b, k) }
       }
-      .toDF("id", "band", "bkey", "sig")
-    val l = banded.select(col("band"), col("bkey"), col("id").as("id1"), col("sig").as("sig1"))
-    val r = banded.select(col("band"), col("bkey"), col("id").as("id2"), col("sig").as("sig2"))
-    l.join(r, Seq("band", "bkey"))
+      .toDF("id", "band", "bkey")
+    val l = banded.select(col("band"), col("bkey"), col("id").as("id1"))
+    val r = banded.select(col("band"), col("bkey"), col("id").as("id2"))
+    val pairs = l.join(r, Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .select(col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
+    val s1 = sigs.select(col("id").as("id1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("id").as("id2"), col("sig").as("sig2"))
+    pairs
+      .join(s1, Seq("id1"))
+      .join(s2, Seq("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
       .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (a, b, s1, s2) => (a, b, Sketches.estJaccard(s1, s2)) }
+      .map { case (a, b, sg1, sg2) => (a, b, Sketches.estJaccard(sg1, sg2)) }
       .toDF("id1", "id2", "est_jaccard")
       .filter(col("est_jaccard") >= minEstJaccard)
   }

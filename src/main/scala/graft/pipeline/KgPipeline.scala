@@ -46,6 +46,13 @@ object KgPipeline {
   /** Linked top-1 entities per mention occurrence, with warc_ts carried
     * through the scan — one pass over the pages, html touched exactly once
     * (no join back to the page table, which would rescan the binary column).
+    *
+    * Shuffle discipline: exactly ONE exchange — the explicit
+    * `repartition(url)` on the raw mentions. Everything downstream is
+    * partitioning-compatible: the broadcast join streams, the top-1 window
+    * clusters by (url, surface, begin) ⊇ {url} so HashPartitioning(url)
+    * already satisfies it (sort only, no exchange), and the same holds for
+    * the adjacency window and the final dedup aggregate in `triples`.
     */
   def linkedMentions(spark: SparkSession, pages: Dataset[Page]): DataFrame = {
     import spark.implicits._
@@ -60,6 +67,7 @@ object KgPipeline {
         }
       }
       .toDF("url", "warc_ts", "surface", "begin")
+      .repartition(col("url")) // the pipeline's one wide op (mentions, not html bytes)
     import org.apache.spark.sql.functions.broadcast
     val cands = mentions
       .join(broadcast(Dict.aliases.toDF()), Seq("surface"))
@@ -74,33 +82,41 @@ object KgPipeline {
     *  - adjacency: consecutive mentions within `maxGap` chars emit
     *    (wd:Q1, wdt:P1002, wd:Q2) (followed_by, Dict.properties).
     * Output columns: subj, pred, obj, url, ts.
+    *
+    * Both triple kinds come out of ONE pass over the linked mentions (lead
+    * window + explode of a 2-element struct array) instead of a union of two
+    * recomputed branches — the source is scanned once and, given the
+    * url-partitioning from linkedMentions, no further shuffle occurs here.
     */
   def triples(spark: SparkSession, pages: Dataset[Page], maxGap: Int = 30): DataFrame = {
     val linked = linkedMentions(spark, pages)
-    val about = linked.select(
-      concat(lit("data:"), col("url")).as("subj"),
-      lit("schema:about").as("pred"),
-      concat(lit("wd:"), col("qid")).as("obj"),
-      col("url"),
-      col("warc_ts").as("ts")
-    )
     val w = Window.partitionBy(col("url")).orderBy(col("begin").asc, col("surface").asc)
-    val adj = linked
+    val adjOk =
+      col("next_qid").isNotNull &&
+        col("next_begin") - col("begin") <= maxGap &&
+        col("qid") =!= col("next_qid")
+    linked
       .withColumn("next_qid", lead(col("qid"), 1).over(w))
       .withColumn("next_begin", lead(col("begin"), 1).over(w))
-      .filter(
-        col("next_qid").isNotNull &&
-          col("next_begin") - col("begin") <= maxGap &&
-          col("qid") =!= col("next_qid")
-      )
       .select(
-        concat(lit("wd:"), col("qid")).as("subj"),
-        lit("wdt:" + Dict.properties("followed_by")).as("pred"),
-        concat(lit("wd:"), col("next_qid")).as("obj"),
         col("url"),
-        col("warc_ts").as("ts")
+        col("warc_ts").as("ts"),
+        explode(array(
+          struct(
+            concat(lit("data:"), col("url")).as("subj"),
+            lit("schema:about").as("pred"),
+            concat(lit("wd:"), col("qid")).as("obj")
+          ),
+          struct(
+            when(adjOk, concat(lit("wd:"), col("qid"))).as("subj"),
+            lit("wdt:" + Dict.properties("followed_by")).as("pred"),
+            when(adjOk, concat(lit("wd:"), col("next_qid"))).as("obj")
+          )
+        )).as("t")
       )
-    about.unionByName(adj)
+      .filter(col("t.subj").isNotNull)
+      .select(col("t.subj").as("subj"), col("t.pred").as("pred"),
+        col("t.obj").as("obj"), col("url"), col("ts"))
   }
 
   /** Windowed distinct over (subj, pred, obj, url) with earliest-ts survivor
