@@ -138,6 +138,16 @@ object KgPipeline {
     dedupTriples(triples(spark, pages))
   }
 
+  /** S7/C11 — golden file serialization (write_to_file,
+    * /root/reference/src/wikidata_update/get_updates.py:1077-1085;
+    * sparql_updates.py:313-333): the 20-line PREFIX preamble, then each
+    * block followed by a blank line. Driver-side by design — golden files
+    * are small; table output goes through Tables.write.
+    */
+  def goldenFile(blocks: Seq[String]): String =
+    graft.text.SparqlFormat.prefixHeader + "\n" +
+      blocks.map(_ + "\n\n").mkString
+
   /** Golden serialization (A2/O1): one `INSERT DATA { s p o . };` command per
     * triple, grouped per subject into reference-shaped blocks, newest first.
     * Only for golden-file comparison — table writes skip the global sort.

