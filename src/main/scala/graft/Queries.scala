@@ -162,22 +162,31 @@ object Queries {
 
   // ------------------------------------------------------- scalar functions
 
-  /** C1: full ordered prefix-replace chain (codegen'd replace fold). */
-  def q11PrefixReplace(s: SparkSession, dir: String): DataFrame =
+  /** C1: prefix canonicalization via the native single-pass Catalyst
+    * expression (graft.plans.PrefixReplaceExpr) — the DuckDB oracle runs the
+    * sequential 26-replace chain, so the hash compare proves the custom
+    * expression's equivalence on real data.
+    */
+  def q11PrefixReplace(s: SparkSession, dir: String): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "replace_prefixes_fast",
+      exprs => graft.plans.PrefixReplaceExpr(exprs.head),
+      "built-in")
     t(s, dir, "part")
       .select(
         col("p_partkey"),
-        SparqlColumns.replacePrefixes(
-          concat(lit("http://www.wikidata.org/entity/Q"), col("p_partkey"))
-        ).as("entity_short"),
-        SparqlColumns.replacePrefixes(
-          concat(lit("http://www.wikidata.org/prop/statement/value-normalized/P"), col("p_partkey"))
-        ).as("psn_short"),
-        SparqlColumns.replacePrefixes(
-          concat(lit("see http://schema.org/about and http://www.wikidata.org/prop/direct/P"),
-            col("p_partkey"))
-        ).as("mixed_short")
+        concat(lit("http://www.wikidata.org/entity/Q"), col("p_partkey")).as("u1"),
+        concat(lit("http://www.wikidata.org/prop/statement/value-normalized/P"), col("p_partkey")).as("u2"),
+        concat(lit("see http://schema.org/about and http://www.wikidata.org/prop/direct/P"),
+          col("p_partkey")).as("u3")
       )
+      .select(
+        col("p_partkey"),
+        expr("replace_prefixes_fast(u1)").as("entity_short"),
+        expr("replace_prefixes_fast(u2)").as("psn_short"),
+        expr("replace_prefixes_fast(u3)").as("mixed_short")
+      )
+  }
 
   val q11Sql: String = {
     def chain(inner: String): String =

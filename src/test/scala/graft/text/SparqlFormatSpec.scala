@@ -93,6 +93,18 @@ class SparqlFormatSpec extends AnyFunSuite {
     ) == "ps:P569")
   }
 
+  test("PrefixTrie single-pass == sequential replace chain on 2000 seeded random strings") {
+    val rng = new scala.util.Random(99)
+    val pieces = SparqlFormat.prefixes.map(_._1) ++ Seq(
+      "Q42", "P31", " ", "http", "http://", "/statement/", "entity/", "xyz",
+      "http://example.org/", "\"lit\"", "htt", "hhttp://www.wikidata.org/entity/"
+    )
+    (0 until 2000).foreach { _ =>
+      val s = (0 until rng.nextInt(8)).map(_ => pieces(rng.nextInt(pieces.size))).mkString
+      assert(PrefixTrie.replaceAll(s) == SparqlFormat.replacePrefixes(s), s"input=$s")
+    }
+  }
+
   // ---- TestHasPrefix (test_ttl_compare.py:308-345) ----
 
   test("has_prefix cases") {
