@@ -138,6 +138,29 @@ object KgPipeline {
     dedupTriples(triples(spark, pages))
   }
 
+  /** Resumable form of the full pipeline (north_rule: checkpoint/resume with
+    * per-partition lineage + metrics). Every triple is a function of its own
+    * page only (aboutness + within-page adjacency; dedup key includes url),
+    * so the pipeline is url-partition-local and `Manifest.runStage` resume
+    * semantics apply directly: on restart, only partitions whose input
+    * fingerprint is missing/stale recompute; outputs land with dynamic
+    * partition overwrite; lineage rows carry (rows_in, rows_out, wall_ms).
+    * Returns the number of partitions actually computed this invocation.
+    */
+  def runResumable(
+      spark: SparkSession,
+      dir: String,
+      outPath: String,
+      manifestPath: String,
+      nParts: Int = 32
+  ): Long = {
+    import spark.implicits._
+    val pagesDf = graft.sources.Tables.pages(spark, dir).toDF()
+    Manifest.runStage(spark, pagesDf, "url", nParts, "kg_triples", outPath, manifestPath) {
+      pending => dedupTriples(triples(spark, pending.drop("part_key").as[Page]))
+    }
+  }
+
   /** S7/C11 — golden file serialization (write_to_file,
     * /root/reference/src/wikidata_update/get_updates.py:1077-1085;
     * sparql_updates.py:313-333): the 20-line PREFIX preamble, then each
@@ -147,6 +170,26 @@ object KgPipeline {
   def goldenFile(blocks: Seq[String]): String =
     graft.text.SparqlFormat.prefixHeader + "\n" +
       blocks.map(_ + "\n\n").mkString
+
+  /** The reference's SEPERATOR constant (sparql_updates.py:101). */
+  val Separator: String = "\n" + "=" * 80 + "\n"
+
+  /** Full changes-file serialization matching sparql_updates.main's output
+    * assembly (sparql_updates.py:441-459 + write_to_file 313-333;
+    * sample_result.txt grammar): per QID change, a `changes for entity: …`
+    * header element, the diff text, and the separator — each element
+    * written followed by a blank line after the prefix header.
+    */
+  def goldenChangesFile(changes: Seq[(String, Long, Long, String)]): String = {
+    val elements = changes.flatMap { case (entity, oldRev, newRev, diffText) =>
+      Seq(
+        s"changes for entity: $entity between old_revid: $oldRev and new_revid: $newRev",
+        diffText,
+        Separator
+      )
+    }
+    goldenFile(elements)
+  }
 
   /** Golden serialization (A2/O1): one `INSERT DATA { s p o . };` command per
     * triple, grouped per subject into reference-shaped blocks, newest first.

@@ -61,6 +61,30 @@ class OperatorsSpec extends SparkSpec {
     assert(plain == salted && plain.nonEmpty)
   }
 
+  test("tf-idf scoring: rare surfaces outrank ubiquitous ones at equal prior") {
+    import spark.implicits._
+    val cands = Seq(
+      ("u1", "common", "Q1", 0.5), ("u2", "common", "Q1", 0.5), ("u3", "common", "Q1", 0.5),
+      ("u1", "rare", "Q2", 0.5)
+    ).toDF("url", "surface", "qid", "score")
+    val scored = Linking.tfidfScored(cands, totalDocs = 3)
+      .collect().map(r => (r.getAs[String]("surface"), r.getAs[Double]("score"))).toMap
+    assert(scored("rare") > scored("common"))
+  }
+
+  test("salted join distributes a skewed head surface across the salt domain") {
+    import spark.implicits._
+    // 'scan' is the deliberately skewed head surface: every fact row hits it
+    val facts = (0 until 1000).map(i => (s"https://u/$i", "scan", i)).toDF("url", "surface", "begin")
+    val dim = Dict.aliases.toDF()
+    val out = Linking.saltedJoin(facts, dim, salt = 8)
+    assert(out.count() == 1000)
+    // the salt column spreads urls over the full domain before the join
+    val saltDist = facts.withColumn("salt", pmod(hash(col("url")), lit(8)))
+      .groupBy("salt").count().collect()
+    assert(saltDist.length == 8) // all 8 salt buckets populated
+  }
+
   test("triple diff: added/removed/diffOps consistent, A\\A empty") {
     import spark.implicits._
     val a = Seq(("E1", "s1", "p", "o1"), ("E1", "s1", "p", "o2"), ("E2", "s2", "p", "o3"))

@@ -67,6 +67,50 @@ class PipelineSpec extends SparkSpec {
     assert(f.endsWith("INSERT DATA { a b c . };\n\nDELETE DATA { d e f . };\n\n"))
   }
 
+  test("runResumable: full-pipeline resume — recompute only stale partitions, output equals direct run") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-resume").toString
+    val n1 = KgPipeline.runResumable(spark, sfDir, s"$tmp/triples", s"$tmp/manifest", nParts = 8)
+    assert(n1 == 8)
+    val n2 = KgPipeline.runResumable(spark, sfDir, s"$tmp/triples", s"$tmp/manifest", nParts = 8)
+    assert(n2 == 0) // fully checkpointed: nothing recomputes
+
+    val resumed = spark.read.parquet(s"$tmp/triples")
+      .select("subj", "pred", "obj", "url").collect().map(_.toSeq).toSet
+    val direct = KgPipeline.run(spark, sfDir, 4)
+      .select("subj", "pred", "obj", "url").collect().map(_.toSeq).toSet
+    assert(resumed == direct)
+
+    // metrics present per partition
+    val man = spark.read.parquet(s"$tmp/manifest")
+    assert(man.filter(col("stage") === "kg_triples").count() == 8)
+    assert(man.filter(col("rows_out") > 0).count() == 8)
+  }
+
+  test("prefix header is byte-identical to the reference's captured output header") {
+    val sample = new String(
+      Files.readAllBytes(java.nio.file.Paths.get("/root/reference/sample_result.txt")),
+      "UTF-8")
+    val sampleHeader = sample.linesIterator.take(20).mkString("\n")
+    assert(graft.text.SparqlFormat.prefixHeader == sampleHeader)
+  }
+
+  test("goldenChangesFile: block layout matches the reference's changes-file grammar") {
+    val diff = "DELETE DATA { data:Q1 schema:version \"1\"^^xsd:integer . };\n" +
+      "INSERT DATA { data:Q1 schema:version \"2\"^^xsd:integer . };"
+    val f = KgPipeline.goldenChangesFile(Seq(("Q1", 1L, 2L, diff)))
+    // header, blank, change-info element, blank, diff, blank, separator, blank
+    assert(f.contains("\nchanges for entity: Q1 between old_revid: 1 and new_revid: 2\n\n"))
+    assert(f.contains(diff + "\n\n"))
+    assert(f.contains("\n" + "=" * 80 + "\n"))
+    // same shape as the captured sample: info line then blank then commands
+    val sample = new String(
+      Files.readAllBytes(java.nio.file.Paths.get("/root/reference/sample_result.txt")),
+      "UTF-8")
+    assert(sample.contains("\nchanges for entity: Q108271934 between old_revid: 2289500175 and new_revid: 2289504733\n\n"))
+    assert(sample.contains("\n" + "=" * 80 + "\n"))
+  }
+
   test("manifest: stage resumes — second run computes zero partitions, changed input invalidates") {
     val tmp = Files.createTempDirectory("graft-manifest").toString
     val input = Tables.pages(spark, sfDir).toDF()
