@@ -37,6 +37,11 @@ object ScalingProbe {
       BenchJobs.replicatedTriples(spark, sfDir, 2, cores * 4).count()
       println(f"[probe] warmup rep=2 wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    args.find(_.startsWith("--sleep=")).foreach { s =>
+      val sec = s.substring(8).toInt
+      println(s"[probe] sleeping $sec s to let C2 drain")
+      Thread.sleep(sec * 1000L)
+    }
     (1 to runs).foreach { r =>
       val t0 = System.nanoTime()
       val n = BenchJobs.replicatedTriples(spark, sfDir, rep, cores * 4).count()
