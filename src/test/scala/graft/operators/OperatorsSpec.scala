@@ -100,6 +100,22 @@ class OperatorsSpec extends SparkSpec {
     assert(TripleDiff.diffOps(a, a, keys).count() == 0)
   }
 
+  test("property: diff anti-symmetry — added(B,A) equals removed(A,B)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val all = (0 until 40).map(i => ("E", s"s${i % 7}", s"p${i % 3}", s"o$i"))
+    val a = all.filter(_ => rng.nextBoolean()).toDF("entity", "subj", "pred", "obj")
+    val b = all.filter(_ => rng.nextBoolean()).toDF("entity", "subj", "pred", "obj")
+    val keys = Seq("entity", "subj", "pred", "obj")
+    val addedBA = TripleDiff.added(b, a, keys).collect().map(_.toSeq).toSet
+    val removedAB = TripleDiff.removed(a, b, keys).collect().map(_.toSeq).toSet
+    assert(addedBA == removedAB)
+    // and diffOps agrees with the two anti-joins
+    val ops = TripleDiff.diffOps(a, b, keys).collect()
+      .map(r => (r.toSeq.dropRight(1), r.getAs[String]("op"))).toMap
+    assert(ops.filter(_._2 == "INSERT").keySet == addedBA.map(_.asInstanceOf[Seq[Any]]))
+  }
+
   test("exact dedup groups identical normalized texts") {
     import spark.implicits._
     val docs = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))

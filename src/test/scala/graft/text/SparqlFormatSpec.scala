@@ -105,6 +105,30 @@ class SparqlFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("property: replacePrefixes is idempotent on its own output") {
+    val rng = new scala.util.Random(7)
+    val pieces = SparqlFormat.prefixes.map(_._1) ++ Seq("Q1", " x ", "http://other/")
+    (0 until 500).foreach { _ =>
+      val s = (0 until rng.nextInt(6)).map(_ => pieces(rng.nextInt(pieces.size))).mkString
+      val once = SparqlFormat.replacePrefixes(s)
+      assert(SparqlFormat.replacePrefixes(once) == once)
+    }
+  }
+
+  test("property: quote-escape inverts under unescape for any literal body") {
+    val rng = new scala.util.Random(11)
+    (0 until 500).foreach { _ =>
+      val body = Array.fill(rng.nextInt(40))(
+        "ab\"\\ c".charAt(rng.nextInt(6))).mkString
+      val rendered = SparqlFormat.formatObject(
+        graft.model.RdfObj(body, None, None, "literal"))
+      if (!body.startsWith("_:")) {
+        val inner = rendered.substring(1, rendered.length - 1)
+        assert(inner.replace("\\\"", "\"") == body)
+      }
+    }
+  }
+
   // ---- TestHasPrefix (test_ttl_compare.py:308-345) ----
 
   test("has_prefix cases") {
