@@ -50,6 +50,52 @@ object HrefExtract {
     }
   }
 
+  /** C12/A1 — the nested-tag pairing walk of handle_nested
+    * (get_updates.py:575-628), network lookups replaced by the supplied
+    * `refHash` (deterministically minted upstream — SURVEY.md §7.4 J3/J4):
+    * fragments alternate (predicate, object); odd tails drop (the reference
+    * indexes i, i+1 stepping by 2 and its callers pre-trim odd counts);
+    * emitted statement shape depends on the predicate family:
+    *  - prov:wasDerivedFrom → `ref:<hash> pr:<p> <o>` + reference typing
+    *  - qualifier           → `?statement pq:<p> <o>`
+    *  - ps:…                → single `?statement <p> <o>` from fragment 0
+    *  - otherwise           → `wd:<entity> ps:<p> <o>`
+    */
+  def handleNested(
+      fragments: Seq[String],
+      currentPredicate: String,
+      entityId: String,
+      refHash: Option[String]
+  ): String = {
+    if (currentPredicate.startsWith("ps:")) {
+      val obj = extractFragment(fragments.head)
+      return s"  ?statement $currentPredicate $obj ."
+    }
+    val (prefix, header) = currentPredicate match {
+      case "prov:wasDerivedFrom" =>
+        val h = refHash.getOrElse("")
+        ("pr",
+          s"  ?statement $currentPredicate ref:$h .\n" +
+            s"  ref:$h a wikibase:Reference .\n")
+      case "qualifier" => ("pq", "")
+      case _           => ("ps", "")
+    }
+    val sb = new StringBuilder(header)
+    fragments.grouped(2).foreach {
+      case Seq(p, o) =>
+        val pred = extractFragment(p)
+        val obj = extractFragment(o)
+        if (currentPredicate == "prov:wasDerivedFrom")
+          sb.append(s"  ref:${refHash.getOrElse("")} $prefix:$pred $obj .\n")
+        else if (currentPredicate == "qualifier")
+          sb.append(s"  ?statement $prefix:$pred $obj .\n")
+        else
+          sb.append(s"  wd:$entityId $prefix:$pred $obj .\n")
+      case _ => () // odd tail dropped, matching the reference's 2-step walk
+    }
+    sb.toString
+  }
+
   /** Convenience for whole-fragment input: parses the outermost tag. */
   def extractFragment(fragment: String): String = {
     val outer = """(?s)^\s*<([a-zA-Z]+)\b([^>]*)>(.*)</\1>\s*$""".r
