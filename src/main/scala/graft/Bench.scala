@@ -31,16 +31,6 @@ object Bench {
     s
   }
 
-  /** One scaling measurement at `cores`: small warmup + compiler-drain
-    * pause, then repeated identical full-size runs, min taken. The fused
-    * post-shuffle stage compiles to a very large whole-stage-codegen method
-    * whose C2 compilation takes minutes of compiler-thread time; runs that
-    * start before it finishes execute partially interpreted (~10× CPU —
-    * measured with ScalingProbe: 1306 task-s cold vs 104 task-s warm on the
-    * same input). Steady-state throughput is the quantity that scales with
-    * executors on a real cluster, where one compilation amortizes over
-    * hours of input.
-    */
   @volatile private var sink: Long = 0L
   private def burn(iters: Long): Long = {
     var x = 1L; var i = 0L
@@ -70,27 +60,22 @@ object Bench {
   final case class Sample(triples: Long, sec: Double, hwOps: Double)
 
   /** One session, one timed full run, bracketed by hardware co-measurement.
-    * `coldStart` adds the small warmup + compiler-drain pause; warm
-    * re-entry relies on the JVM-wide codegen cache, which (measured)
-    * carries JIT heat across sessions of the SAME core count/config.
+    * The untimed first full run re-warms THIS session: codegen classes
+    * reload per session, so in-session run #2 is the steady state (the
+    * fused post-shuffle stage's giant generated method runs ~10× slower
+    * until C2-compiled — ScalingProbe measured 1306 task-s cold vs 104
+    * warm on identical input; that first run also triggers and amortizes
+    * the compilation).
     */
-  private def sessionRun(cores: Int, dir: String, rep: Int, coldStart: Boolean): Sample = {
+  private def sessionRun(cores: Int, dir: String, rep: Int): Sample = {
     val spark = session(cores)
     try {
       val parts = cores * 4
-      if (coldStart) {
-        BenchJobs.replicatedTriples(spark, dir, 2, parts).count()
-        Thread.sleep(15000)
-      }
-      // the JVM accumulates heap garbage across successive sessions, which
-      // taxes later (allocation-heavier) runs — collect + settle first so
-      // every timed run starts from a comparable heap
+      // collect + settle so every timed run starts from a comparable heap
+      // (the JVM accumulates garbage across successive sessions)
       System.gc()
       Thread.sleep(2000)
-      // first full run re-warms THIS session (codegen classes reload per
-      // session, losing JIT heat — in-session run #2 is the steady state);
-      // it is untimed, then the hw-bracketed second run is the measurement
-      BenchJobs.replicatedTriples(spark, dir, rep, parts).count()
+      BenchJobs.replicatedTriples(spark, dir, rep, parts).count() // warm-in, untimed
       val hw1 = hwOpsPerSec(cores)
       val t0 = System.nanoTime()
       val n = BenchJobs.replicatedTriples(spark, dir, rep, parts).count()
@@ -148,14 +133,11 @@ object Bench {
     // PAIRED sampling: the host's speed drifts by ±20% over minutes, so a
     // low-cores window measured in one phase and a high-cores window in
     // another skews the ratio. Each PAIR therefore runs low then high
-    // back-to-back (drift within the ~1-minute pair is small and hits both
-    // sides), efficiency = MEDIAN over pair ratios. The first pair runs
-    // coldStart (warmup + compiler drain); later pairs re-enter warm via
-    // the JVM-wide codegen cache.
+    // back-to-back so drift hits both sides of a pair.
     val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "2").toInt
     val pairs = (1 to nPairs).map { i =>
-      val lo = sessionRun(coresLow, sfDir, rep, coldStart = i == 1)
-      val hi = sessionRun(coresHigh, sfDir, rep, coldStart = i == 1)
+      val lo = sessionRun(coresLow, sfDir, rep)
+      val hi = sessionRun(coresHigh, sfDir, rep)
       (lo, hi)
     }
     // Per pair: raw engine ratio, and the hardware ratio co-measured in the
