@@ -135,33 +135,48 @@ object Bench {
     // another skews the ratio. Each PAIR therefore runs low then high
     // back-to-back so drift hits both sides of a pair.
     val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "2").toInt
-    val pairs = (1 to nPairs).map { i =>
-      val lo = sessionRun(coresLow, sfDir, rep)
-      val hi = sessionRun(coresHigh, sfDir, rep)
-      (lo, hi)
-    }
-    // Per pair: raw engine ratio, and the hardware ratio co-measured in the
-    // SAME windows (pure-JVM burns bracketing each timed run). Dividing the
-    // two cancels what the host did to the windows — frequency scaling,
-    // steal, stalls — leaving the ENGINE's scaling. Median over pairs.
-    val pairStats = pairs.map { case (lo, hi) =>
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_PAIRS", "4").toInt
+    def pairStat(lo: Sample, hi: Sample): (Double, Double, Double) = {
       val raw = ((hi.triples / hi.sec) / (lo.triples / lo.sec)) / (coresHigh.toDouble / coresLow)
       val hw = (hi.hwOps / lo.hwOps) / (coresHigh.toDouble / coresLow)
       (raw, hw, raw / hw)
     }
+    // Per pair: raw engine ratio, and the hardware ratio co-measured in the
+    // SAME windows (pure-JVM burns bracketing each timed run). Dividing the
+    // two cancels what the host did to the windows — frequency scaling,
+    // steal, stalls — leaving the ENGINE's scaling.
+    //
     // Window-quality gate: the hw ratio is a CONTROL — with stable hardware
     // it must be ~1.0 (pure-JVM burns scale ×4.0 on this pair of thread
     // counts when the host is quiet, tools/CpuProbe3). A pair whose control
-    // deviates >10% caught a host phase shift inside its windows. On this
-    // shared VM, contention systematically DEFLATES the ratio (it taxes the
-    // saturated high-cores window hardest), so the steady-state efficiency
-    // is the best clean-window pair, capped at 1.0; if no window was clean,
-    // the median of all normalized pairs is reported. Every pair's
-    // (raw, hw-control, normalized) triple is emitted for transparency.
+    // deviates >10% caught a host phase shift inside its windows; if the
+    // first nPairs all fail the gate, keep sampling (up to maxPairs) rather
+    // than guessing from dirty windows. On this shared VM, contention
+    // systematically DEFLATES the ratio (it taxes the saturated high-cores
+    // window hardest), so the steady-state efficiency is the best
+    // clean-window pair. Every reported number — clean or fallback — is
+    // capped at 1.0: >1.0 would claim super-linear scaling, which for this
+    // CPU-bound job can only be measurement noise. The fallback (no clean
+    // window at all) takes the LOWER median of normalized ratios and sets
+    // no_clean_window=true so consumers can tell a measurement from a guess.
+    // Every pair's (raw, hw-control, normalized) triple is emitted.
+    val pairBuf = scala.collection.mutable.ArrayBuffer.empty[(Sample, Sample)]
+    def cleanPairs = pairBuf.map { case (lo, hi) => pairStat(lo, hi) }
+      .filter { case (_, hw, _) => math.abs(hw - 1.0) <= 0.10 }
+    while (pairBuf.length < nPairs || (cleanPairs.isEmpty && pairBuf.length < maxPairs)) {
+      val lo = sessionRun(coresLow, sfDir, rep)
+      val hi = sessionRun(coresHigh, sfDir, rep)
+      pairBuf += ((lo, hi))
+    }
+    val pairs = pairBuf.toSeq
+    val pairStats = pairs.map { case (lo, hi) => pairStat(lo, hi) }
     val clean = pairStats.filter { case (_, hw, _) => math.abs(hw - 1.0) <= 0.10 }
-    val eff =
-      if (clean.nonEmpty) math.min(1.0, clean.map(_._3).max)
-      else { val p = pairStats.map(_._3).sorted; p(p.length / 2) }
+    val noCleanWindow = clean.isEmpty
+    val eff = math.min(
+      1.0,
+      if (clean.nonEmpty) clean.map(_._3).max
+      else { val p = pairStats.map(_._3).sorted; p((p.length - 1) / 2) } // lower median
+    )
     val bestLo = pairs.map(_._1).minBy(_.sec)
     val bestHi = pairs.map(_._2).minBy(_.sec)
     val (nLow, tLow, nHigh, tHigh) = (bestLo.triples, bestLo.sec, bestHi.triples, bestHi.sec)
@@ -174,9 +189,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
-    val scaling = f"""{"job":"kg_pipeline_rep$rep","triples":$nHigh,"cores_low":$coresLow,"cores_high":$coresHigh,"sec_low":$tLow%.2f,"sec_high":$tHigh%.2f,"triples_per_sec_low":$thrLow%.0f,"triples_per_sec_high":$thrHigh%.0f,"pair_efficiencies":$pairEffsJson,"efficiency":$eff%.3f}"""
-    println(
+    val scaling = f"""{"job":"kg_pipeline_rep$rep","triples":$nHigh,"cores_low":$coresLow,"cores_high":$coresHigh,"sec_low":$tLow%.2f,"sec_high":$tHigh%.2f,"triples_per_sec_low":$thrLow%.0f,"triples_per_sec_high":$thrHigh%.0f,"pair_efficiencies":$pairEffsJson,"no_clean_window":$noCleanWindow,"efficiency":$eff%.3f}"""
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
-    )
+    println(line)
+    // stdout goes through sbt's logger (every line gets an [info]/[error]
+    // tag and is interleaved with Spark logs), so ALSO write the artifact to
+    // a file consumers can parse directly. Default lands in the repo cwd.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      )
+    } catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
   }
 }

@@ -641,11 +641,13 @@ object Queries {
       |CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** Sessionization: custom per-key state (flatMapGroups) cross-checked
-    * against the SQL lag/cumsum formulation.
+  /** Sessionization: the skew-safe secondary-sort form (O(1) memory per key;
+    * StreamIngest.sessionizeSorted) cross-checked against the SQL lag/cumsum
+    * formulation. The typed flatMapGroups and stateful-streaming forms are
+    * proven equal in StreamingSpec.
     */
   def q39Sessionize(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.StreamIngest.sessionize(s, t(s, dir, "events"), gapMinutes = 30)
+    graft.streaming.StreamIngest.sessionizeSorted(s, t(s, dir, "events"), gapMinutes = 30)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events").cast("bigint").as("n_events"))
 
@@ -768,22 +770,57 @@ object Queries {
       |'};' || chr(10) AS insert_block
       |FROM customer""".stripMargin
 
-  // --------------------------------------------- rows-only checked queries
+  // -------------------------------------- near-dup queries (oracle-gated)
 
-  /** MinHash+LSH near-dup candidate pairs (not SQL-expressible — rows-only). */
+  /** Exact all-pairs 5-gram Jaccard in plain SQL (DISTINCT-shingle explode →
+    * shingle self-join → |∩| counts → |∪| by inclusion-exclusion). Viable as
+    * an oracle because Σ c(shingle)² ≈ 16M at sf0.01 — and correct as one
+    * because the corpus is GAPPED: every document pair is either a planted
+    * near-dup (J ≥ 0.92) or background (J ≤ 0.35), measured at sf0.001/0.01/
+    * 0.1, so any threshold in [0.4, 0.9] selects exactly the planted set —
+    * the set the LSH queries must recover (recall at J ≥ 0.92 with 16×4
+    * banding: 1-(1-0.92⁴)¹⁶ ≈ 1-2e-9).
+    */
+  private def jaccardPairsSql(minJaccard: Double): String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         CASE WHEN length(t) < 5 THEN t ELSE substr(t, g.i, 5) END AS s
+       |  FROM norm, LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i) g
+       |  WHERE t <> ''),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2 FROM inter
+       |JOIN sizes s1 ON s1.doc_id = inter.id1
+       |JOIN sizes s2 ON s2.doc_id = inter.id2
+       |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= $minJaccard""".stripMargin
+
+  /** MinHash+LSH near-dup candidate pairs at est-Jaccard ≥ 0.7. On the
+    * gapped corpus (see jaccardPairsSql) this equals the exact-Jaccard ≥ 0.6
+    * set, which is what the oracle computes — gating both LSH recall and
+    * estimator calibration.
+    */
   def q26MinHashPairs(s: SparkSession, dir: String): DataFrame = {
     val sigs = Dedup.minHashSignatures(s, t(s, dir, "documents"), "doc_id", "text")
-    Dedup.minHashCandidates(s, sigs, bands = 16, minEstJaccard = 0.5)
+    Dedup.minHashCandidates(s, sigs, bands = 16, minEstJaccard = 0.7)
       .select(col("id1"), col("id2"))
   }
 
-  /** SimHash near-dup pairs (rows-only). */
+  val q26Sql: String = jaccardPairsSql(0.6)
+
+  /** SimHash near-dup pairs (rows-only; planted-dup recall spec'd). */
   def q27SimHashPairs(s: SparkSession, dir: String): DataFrame = {
     val hashes = Dedup.simHashes(s, t(s, dir, "documents"), "doc_id", "text")
     Dedup.simHashPairs(s, hashes, maxHamming = 3).select(col("id1"), col("id2"), col("hamming"))
   }
 
-  /** n-gram Jaccard verification over LSH candidates (rows-only). */
+  /** n-gram Jaccard verification over LSH candidates — exact J ≥ 0.6, so the
+    * oracle is the literal all-pairs SQL of the same computation.
+    */
   def q28JaccardVerify(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val sigs = Dedup.minHashSignatures(s, docs, "doc_id", "text")
@@ -792,9 +829,23 @@ object Queries {
       .select(col("id1"), col("id2"))
   }
 
-  /** Multimodal metadata extraction over the binary column (rows-only). */
+  val q28Sql: String = jaccardPairsSql(0.6)
+
+  /** Multimodal metadata: REAL PNG decode (javax.imageio) over the media
+    * binary column; dims/fill are closed-form in doc_id so the decoded
+    * metadata is oracle-checkable.
+    */
   def q33Multimodal(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractMeta(s, Tables.pages(s, dir)).toDF()
+    Multimodal.imageMeta(s, Tables.media(s, dir))
+      .toDF()
+      .select(col("media_id"), col("width"), col("height"), col("px_sum"))
+
+  val q33Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |CAST(16 + doc_id % 48 AS INT) AS width,
+      |CAST(16 + doc_id % 24 AS INT) AS height,
+      |CAST((16 + doc_id % 48) * (16 + doc_id % 24) * (doc_id % 256) * 3 AS BIGINT) AS px_sum
+      |FROM documents""".stripMargin
 
   /** LSH-bucketed ANN (rows-only; recall vs q29 asserted in tests). */
   def q37AnnLsh(s: SparkSession, dir: String): DataFrame = {
@@ -804,13 +855,183 @@ object Queries {
     Ann.lshTopK(s, emb, "vec_id", "embedding", query, k = 20, nPlanes = 5)
   }
 
-  /** Embedding-cosine near-dup pairs (rows-only). */
-  def q38EmbedNearDup(s: SparkSession, dir: String): DataFrame =
-    Ann.nearDupPairs(s, t(s, dir, "embeddings"), "vec_id", "embedding", minCosine = 0.95)
+  /** Embedding near-dup over corpus ∪ deterministically perturbed copies:
+    * copy of vec i gets id i+1e6 and each component scaled by (1 + u/2000),
+    * u ∈ [-1,1] from fnv1a(id:i) — cosine(original, copy) ≥ 0.999999 while
+    * no natural pair reaches 0.61 at any test SF (measured), so the expected
+    * output is exactly the planted (i, i+1e6) pairs and the banded-LSH
+    * recall of Ann.nearDupPairs is oracle-checkable in plain SQL.
+    */
+  def q38EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val planted = emb.as[(Long, Array[Float])].map { case (id, v) =>
+      val w = new Array[Float](v.length)
+      var i = 0
+      while (i < v.length) {
+        val u = (math.floorMod(Sketches.fnv1a(s"$id:$i"), 2001L) - 1000L) / 1000.0
+        w(i) = (v(i) * (1.0 + u / 2000.0)).toFloat
+        i += 1
+      }
+      (id + 1000000L, w)
+    }.toDF("vec_id", "embedding")
+    Ann.nearDupPairs(s, emb.unionByName(planted), "vec_id", "embedding", minCosine = 0.95)
+      .select(col("id1"), col("id2"))
+  }
 
-  /** Full KG pipeline output (rows-only; covered piecewise by q17-q23). */
+  val q38Sql: String =
+    """SELECT CAST(vec_id AS BIGINT) AS id1, CAST(vec_id + 1000000 AS BIGINT) AS id2
+      |FROM embeddings""".stripMargin
+
+  /** Full KG pipeline output — the flagship, oracle-gated end-to-end: the
+    * word-bounded mention scan is re-expressed in SQL as a generate_series
+    * position probe, then the same top-1 link window, adjacency lead window,
+    * and (subj,pred,obj,url) min-ts dedup as the Spark plan.
+    */
   def q40Pipeline(s: SparkSession, dir: String): DataFrame =
     KgPipeline.run(s, dir, numPartitions = s.sparkContext.defaultParallelism)
+
+  val q40Sql: String =
+    s"""WITH docs AS (
+       |  SELECT $urlSql AS url,
+       |         TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id AS BIGINT)) AS ts,
+       |         text
+       |  FROM documents),
+       |$aliasesCte,
+       |surfaces AS (SELECT DISTINCT surface FROM aliases),
+       |mentions AS (
+       |  SELECT d.url, d.ts, s.surface, g.i - 1 AS begin
+       |  FROM docs d CROSS JOIN surfaces s,
+       |       LATERAL (SELECT unnest(generate_series(1, length(d.text) - length(s.surface) + 1)) AS i) g
+       |  WHERE substr(d.text, g.i, length(s.surface)) = s.surface
+       |    AND (g.i = 1 OR NOT regexp_matches(substr(d.text, g.i - 1, 1), '[A-Za-z0-9]'))
+       |    AND (g.i + length(s.surface) - 1 = length(d.text)
+       |         OR NOT regexp_matches(substr(d.text, g.i + length(s.surface), 1), '[A-Za-z0-9]'))),
+       |linked AS (
+       |  SELECT url, ts, surface, begin, qid FROM (
+       |    SELECT m.url, m.ts, m.surface, m.begin, a.qid,
+       |           row_number() OVER (PARTITION BY m.url, m.surface, m.begin
+       |                              ORDER BY a.prior DESC, a.qid) AS rn
+       |    FROM mentions m JOIN aliases a USING (surface)) WHERE rn = 1),
+       |seq AS (
+       |  SELECT url, ts, begin, surface, qid,
+       |         lead(qid) OVER w AS next_qid,
+       |         lead(begin) OVER w AS next_begin
+       |  FROM linked WINDOW w AS (PARTITION BY url ORDER BY begin, surface)),
+       |tr AS (
+       |  SELECT 'data:' || url AS subj, 'schema:about' AS pred, 'wd:' || qid AS obj, url, ts FROM seq
+       |  UNION ALL
+       |  SELECT 'wd:' || qid, 'wdt:${Dict.properties("followed_by")}', 'wd:' || next_qid, url, ts FROM seq
+       |  WHERE next_qid IS NOT NULL AND next_begin - begin <= 30 AND qid <> next_qid)
+       |SELECT subj, pred, obj, url, min(ts) AS ts FROM tr GROUP BY subj, pred, obj, url""".stripMargin
+
+  /** E2: the composed MediaWiki diff-table → RDF walk (DiffTableRdf /
+    * DiffHtml.convertToRdf) over generated reference-shaped diff documents —
+    * 5 blocks per change (schema label edit ×2, qualifier add through the
+    * nested-span path with a wb-details strip, rank removal, whole-claim add
+    * through handle_claim_updates with minted ?statement substitution), each
+    * a closed-form string of (user_id, event_id) so the oracle reproduces
+    * the full byte-exact RDF in SQL.
+    */
+  def q44DiffHtml(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val changes = t(s, dir, "events")
+      .select(
+        concat(lit("Q"), col("user_id")).as("entity"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("event_id").cast("long").as("revid"),
+        (col("event_id") - 1).cast("long").as("old_revid"),
+        col("user_id").cast("long").as("uid"),
+        col("event_id").cast("long").as("eid")
+      )
+      .as[(String, String, Long, Long, Long, Long)]
+      .mapPartitions(_.map { case (e, ts, r, o, u, ev) =>
+        (e, ts, r, o, graft.text.DiffHtmlGen.generate(u, ev))
+      })
+      .toDF("entity", "ts", "revid", "old_revid", "diff_html")
+    DiffTableRdf.convert(s, changes)
+  }
+
+  val q44Sql: String = {
+    val sid = """'s:Q' || user_id || '-' || md5('Q' || user_id || '|P31|"human ' || event_id || '"')"""
+    """WITH base AS (
+      |  SELECT 'Q' || user_id AS entity, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      |         user_id, event_id, SID AS sid
+      |  FROM events)
+      |SELECT entity, 'DELETE' AS op,
+      |  'DELETE DATA {' || chr(10) || '  wd:Q' || user_id || ' schema:label "old label ' || event_id || '"@en .' || chr(10) || '};' AS rdf,
+      |  ts FROM base
+      |UNION ALL
+      |SELECT entity, 'INSERT',
+      |  'INSERT DATA {' || chr(10) || '  wd:Q' || user_id || ' schema:label "new label ' || event_id || '"@en .' || chr(10) || '};',
+      |  ts FROM base
+      |UNION ALL
+      |SELECT entity, 'INSERT',
+      |  'INSERT DATA {' || chr(10) || '  ?statement pq:P585 "time ' || event_id || '" .' || chr(10) || chr(10) || '};',
+      |  ts FROM base
+      |UNION ALL
+      |SELECT entity, 'DELETE',
+      |  'DELETE DATA{' || chr(10) || '  ?statement wikibase:rank wikibase:NormalRank .' || chr(10) || '};',
+      |  ts FROM base
+      |UNION ALL
+      |SELECT entity, 'INSERT',
+      |  'INSERT DATA {' || chr(10) ||
+      |  '  ' || sid || ' a wikibase:Statement .' || chr(10) ||
+      |  '  ' || sid || ' a wikibase:BestRank .' || chr(10) ||
+      |  '  wd:Q' || user_id || ' p:P31 ' || sid || ' .' || chr(10) ||
+      |  '  ' || sid || ' psn:P31 <http://www.wikidata.org/wiki/Q5> .' || chr(10) ||
+      |  '  wd:Q' || user_id || ' wdtn:P31 <http://www.wikidata.org/wiki/Q5> .' || chr(10) ||
+      |  '  wd:Q' || user_id || ' wdt:P31 "human ' || event_id || '" .' || chr(10) ||
+      |  '  ' || sid || ' ps:P31 "human ' || event_id || '" .' || chr(10) || '};',
+      |  ts FROM base""".stripMargin.replace("SID", sid)
+  }
+
+  /** J4: v:-time-node resolution — the get_time_node STRSTARTS(prv:) lookup
+    * as a broadcast join against a reference-node triple dim (TimeNodes),
+    * with a noise pr: row per node that the prefix filter must reject.
+    */
+  def q45TimeNode(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val refId = md5(concat(
+      lit("Q"), col("user_id").cast("string"), lit("|"),
+      col("event_id").cast("string"), lit("|P585")))
+    val changes = events
+      .filter(col("event_type") === "click")
+      .select(concat(lit("Q"), col("user_id")).as("entity"), refId.as("ref_id"))
+    val dim = events
+      .select(
+        refId.as("ref_id"),
+        lit(TimeNodes.PrvUri + "P585").as("predicate"),
+        concat(lit("http://www.wikidata.org/value/"),
+          md5(concat(col("event_id").cast("string"), lit("v")))).as("value"))
+      .unionByName(events.select(
+        refId.as("ref_id"),
+        lit("http://www.wikidata.org/prop/reference/P585").as("predicate"),
+        lit("noise").as("value")))
+    TimeNodes.resolve(changes, dim)
+      .select(col("entity"), col("ref_id"), col("time_node"))
+  }
+
+  val q45Sql: String =
+    """WITH dim AS (
+      |  SELECT md5('Q' || user_id || '|' || event_id || '|P585') AS ref_id,
+      |         'http://www.wikidata.org/prop/reference/value/P585' AS predicate,
+      |         'http://www.wikidata.org/value/' || md5(event_id || 'v') AS value
+      |  FROM events
+      |  UNION ALL
+      |  SELECT md5('Q' || user_id || '|' || event_id || '|P585'),
+      |         'http://www.wikidata.org/prop/reference/P585', 'noise'
+      |  FROM events),
+      |prv AS (
+      |  SELECT ref_id, 'v:' || string_split(value, '/')[-1] AS time_node
+      |  FROM dim WHERE starts_with(predicate, 'http://www.wikidata.org/prop/reference/value/'))
+      |SELECT 'Q' || e.user_id AS entity,
+      |       md5('Q' || e.user_id || '|' || e.event_id || '|P585') AS ref_id,
+      |       p.time_node
+      |FROM events e
+      |LEFT JOIN prv p ON p.ref_id = md5('Q' || e.user_id || '|' || e.event_id || '|P585')
+      |WHERE e.event_type = 'click'""".stripMargin
 
   // ----------------------------------------------------------------- maps
 
@@ -850,16 +1071,18 @@ object Queries {
     "q39_sessionize" -> ((q39Sessionize _, q39Sql)),
     "q41_triple_filters" -> ((q41TripleFilters _, q41Sql)),
     "q42_change_snapshots" -> ((q42ChangeSnapshots _, q42Sql)),
-    "q43_new_entity" -> ((q43NewEntity _, q43Sql))
+    "q43_new_entity" -> ((q43NewEntity _, q43Sql)),
+    "q26_minhash_pairs" -> ((q26MinHashPairs _, q26Sql)),
+    "q28_jaccard_verify" -> ((q28JaccardVerify _, q28Sql)),
+    "q33_multimodal_meta" -> ((q33Multimodal _, q33Sql)),
+    "q38_embed_neardup" -> ((q38EmbedNearDup _, q38Sql)),
+    "q40_pipeline" -> ((q40Pipeline _, q40Sql)),
+    "q44_diff_html" -> ((q44DiffHtml _, q44Sql)),
+    "q45_time_node" -> ((q45TimeNode _, q45Sql))
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q26_minhash_pairs" -> (q26MinHashPairs _),
     "q27_simhash_pairs" -> (q27SimHashPairs _),
-    "q28_jaccard_verify" -> (q28JaccardVerify _),
-    "q33_multimodal_meta" -> (q33Multimodal _),
-    "q37_ann_lsh" -> (q37AnnLsh _),
-    "q38_embed_neardup" -> (q38EmbedNearDup _),
-    "q40_pipeline" -> (q40Pipeline _)
+    "q37_ann_lsh" -> (q37AnnLsh _)
   )
 }

@@ -96,30 +96,57 @@ object Ann {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs via bucket self-join. */
+  /** Embedding-cosine near-duplicate pairs, banded like Dedup.simHashPairs.
+    *
+    * The hyperplane signature is split into `bands` independent bands of
+    * `bandBits` bits; a pair is a candidate if ANY band matches. Per-bit
+    * agreement for angle θ is 1−θ/π, so at cosine 0.95 (θ≈0.318 rad,
+    * p≈0.899) recall is 1−(1−p^4)^6 ≈ 0.998 with the defaults — vs ≈28%
+    * for the single 12-plane bucket this replaces. Only (id, band, key)
+    * rides the bucket self-join and pair-dedup shuffles; the float vectors
+    * are joined back once per SURVIVING candidate pair for exact cosine
+    * verification (the ids-only discipline of Dedup.minHashCandidates) — at
+    * 100 TB the wide ops move ~24 B/row instead of the embedding payload.
+    * Empty input returns an empty frame instead of failing the dim probe.
+    */
   def nearDupPairs(
       spark: SparkSession,
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       minCosine: Double = 0.95,
-      nPlanes: Int = 12
+      bands: Int = 6,
+      bandBits: Int = 4
   ): DataFrame = {
     import spark.implicits._
-    val first = embeddings.select(col(vecCol)).as[Array[Float]].head()
-    val planes = spark.sparkContext.broadcast(hyperplanes(first.length, nPlanes))
-    val bucketed = embeddings
-      .select(col(idCol).cast("long"), col(vecCol))
+    require(bands * bandBits <= 64, "signature must fit in a Long")
+    val ids = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val firstVec = ids.select(col("v")).as[Array[Float]].take(1)
+    if (firstVec.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("id1", "id2", "cosine")
+    val planes = spark.sparkContext.broadcast(hyperplanes(firstVec.head.length, bands * bandBits))
+    val mask = (1L << bandBits) - 1
+    val banded = ids
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, signBits(v, planes.value), v) }
-      .toDF("id", "bucket", "v")
-    val l = bucketed.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
-    val r = bucketed.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
-    l.join(r, Seq("bucket"))
+      .flatMap { case (id, v) =>
+        val bits = signBits(v, planes.value)
+        (0 until bands).map(b => (id, b, (bits >>> (b * bandBits)) & mask))
+      }
+      .toDF("id", "band", "bkey")
+    val l = banded.select(col("band"), col("bkey"), col("id").as("id1"))
+    val r = banded.select(col("band"), col("bkey"), col("id").as("id2"))
+    val pairs = l.join(r, Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .dropDuplicates("id1", "id2")
+    val v1 = ids.select(col("id").as("id1"), col("v").as("v1"))
+    val v2 = ids.select(col("id").as("id2"), col("v").as("v2"))
+    pairs
+      .join(v1, Seq("id1"))
+      .join(v2, Seq("id2"))
       .select(col("id1"), col("id2"), col("v1"), col("v2"))
       .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (a, b, v1, v2) => (a, b, Sketches.cosine(v1, v2)) }
+      .map { case (a, b, x, y) => (a, b, Sketches.cosine(x, y)) }
       .toDF("id1", "id2", "cosine")
       .filter(col("cosine") >= minCosine)
   }

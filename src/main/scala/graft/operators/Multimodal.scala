@@ -1,60 +1,90 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 import graft.model.Page
 
-/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata. The Spark-side shape — schema, partition-preserving
-  * batch processing via mapPartitions, metadata projection — is real and
-  * tested; the codec step itself is STUBBED deterministically (this
-  * container ships no image/audio libraries), clearly marked below.
+/** Multimodal column plumbing: images (and by extension audio/video frames)
+  * as opaque `binary` columns with typed metadata. The decode is REAL —
+  * `javax.imageio` ships in the JDK, so PNG encode/decode needs no external
+  * dependency: fixtures are genuine PNG bytes and `decodeImage` reads actual
+  * width/height/pixels back.
   *
   * At scale: binary payloads never become a shuffle key; metadata extraction
-  * is a narrow map; downstream joins use the extracted (url, meta) columns
-  * only, so the heavy bytes stay columnar-pruned out of every shuffle.
+  * is a narrow per-partition map (the Scala analogue of a mapInPandas batch
+  * UDF — same batch shape, same schema contract); downstream joins use only
+  * the extracted metadata columns, so the heavy bytes stay columnar-pruned
+  * out of every shuffle.
   */
 object Multimodal {
 
-  final case class MediaMeta(
-      url: String,
+  final case class ImageMeta(
+      media_id: Long,
       n_bytes: Long,
-      magic: String,
+      is_png: Boolean,
       width: Int,
       height: Int,
-      feature_sum: Long
+      px_sum: Long // sum of R+G+B over all pixels
   )
 
-  /** STUB decoder — deterministic fake standing in for a real image decode
-    * (e.g. libjpeg). Derives "dimensions" and a "feature" from the bytes so
-    * tests pin the plumbing; swap this single function for the real codec in
-    * production.
+  private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Deterministic single-gray PNG: width×height, every pixel (gray, gray,
+    * gray). PNG is lossless, so `decodeImage(encodePng(w, h, g))` returns
+    * exactly (w, h, w*h*g*3) — the closed form the q33 oracle checks in SQL.
     */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Long) = {
+  def encodePng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(width * height / 4 + 128)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real image decode: (width, height, sum of R+G+B over all pixels). */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
     var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-    val w = 16 + (sum % 64).toInt
-    val h = 9 + (sum % 32).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
     (w, h, sum)
   }
 
-  /** Batch metadata extraction over the binary column; one pass per
-    * partition, no shuffle. (The Scala analogue of a mapInPandas batch UDF —
-    * same batch shape, same schema contract.)
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && java.util.Arrays.equals(bytes.take(8), PngMagic)
+
+  /** Batch metadata extraction over a (media_id, image binary) frame; one
+    * pass per partition, no shuffle.
     */
-  def extractMeta(spark: SparkSession, pages: Dataset[Page]): Dataset[MediaMeta] = {
+  def imageMeta(spark: SparkSession, media: DataFrame): Dataset[ImageMeta] = {
     import spark.implicits._
-    pages.mapPartitions(_.map { p =>
-      val (w, h, f) = decodeStub(p.html)
-      val magic = p.html.take(9).map(b => (b & 0xff).toChar).mkString
-      MediaMeta(p.url, p.html.length.toLong, magic, w, h, f)
-    })
+    import org.apache.spark.sql.functions.col
+    media
+      .select(col("media_id").cast("long"), col("image"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, s) = decodeImage(bytes)
+        ImageMeta(id, bytes.length.toLong, isPng(bytes), w, h, s)
+      })
   }
 
   /** Frame-sampling shape: split a binary payload into fixed-size "frames"
     * and emit every k-th — the row-explosion pattern (flatMap Generator) a
-    * video pipeline needs, with deterministic fake frames.
+    * video pipeline needs.
     */
   def sampleFrames(
       spark: SparkSession,

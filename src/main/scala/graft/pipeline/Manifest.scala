@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object Manifest {
 
   val schemaCols: Seq[String] =
-    Seq("stage", "part_key", "input_fingerprint", "rows_in", "rows_out", "wall_ms", "status")
+    Seq("stage", "part_key", "input_fingerprint", "rows_in", "rows_out", "wall_ms", "status", "run_seq")
 
   def partKey(urlCol: org.apache.spark.sql.Column, nParts: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(urlCol), lit(nParts.toLong))
@@ -43,10 +43,26 @@ object Manifest {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "stage STRING, part_key BIGINT, input_fingerprint BIGINT, " +
-            "rows_in BIGINT, rows_out BIGINT, wall_ms BIGINT, status STRING"
+            "rows_in BIGINT, rows_out BIGINT, wall_ms BIGINT, status STRING, run_seq BIGINT"
         )
       )
     else spark.read.parquet(manifestPath)
+  }
+
+  /** Latest manifest row per (stage, part_key) — the manifest is append-only
+    * (recomputes and orphanings append, never rewrite), so ONLY the highest
+    * run_seq row is authoritative. Joining against all historical rows would
+    * keep any recomputed partition pending forever (its superseded
+    * fingerprint row would always mismatch).
+    */
+  def latestRows(manifest: DataFrame, stage: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("part_key")).orderBy(col("run_seq").desc)
+    manifest
+      .filter(col("stage") === stage)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
   }
 
   /** Per-partition lineage rows for `input` keyed by part_key: fingerprint +
@@ -73,8 +89,8 @@ object Manifest {
       stage: String
   ): DataFrame = {
     val lin = lineage(input, urlCol, nParts)
-    val done = readManifest(spark, manifestPath)
-      .filter(col("stage") === stage && col("status") === "ok")
+    val done = latestRows(readManifest(spark, manifestPath), stage)
+      .filter(col("status") === "ok") // an orphaned/failed latest row ⇒ not done
       .select(col("part_key"), col("input_fingerprint").as("done_fp"))
     lin
       .join(done, Seq("part_key"), "left_outer")
@@ -86,6 +102,46 @@ object Manifest {
     * with partition-overwrite, append manifest rows with metrics. Returns
     * the number of partitions actually computed.
     */
+  /** Monotonic per-append sequence for latest-row-wins reads. */
+  private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private def nextRunSeq(): Long =
+    System.currentTimeMillis() * 1000 + (seqCounter.incrementAndGet() % 1000)
+
+  private def deletePartitionDir(spark: SparkSession, outPath: String, key: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$outPath/part_key=$key")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Output part_key dirs currently on disk. */
+  private def outputKeys(spark: SparkSession, outPath: String): Set[Long] = {
+    val path = new org.apache.hadoop.fs.Path(outPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Set.empty
+    else
+      fs.listStatus(path)
+        .iterator
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("part_key=") => n.stripPrefix("part_key=").toLong }
+        .toSet
+  }
+
+  /** Run one stage resumably: compute only pending partitions, write them
+    * with partition-overwrite, append manifest rows with metrics. Returns
+    * the number of partitions actually computed.
+    *
+    * Correctness-of-overwrite details (dynamic partition overwrite only
+    * rewrites partitions PRESENT in the transform output):
+    *  - every pending part_key dir is deleted up front, so a recompute whose
+    *    output is empty leaves an empty partition, not last run's stale rows
+    *    (and the read-back rows_out metric counts only this run's rows);
+    *  - output partitions whose part_key no longer exists in the input at
+    *    all (the input rows vanished ⇒ the key never becomes pending) are
+    *    reconciled as orphans: their dirs are deleted and an `orphaned`
+    *    manifest row is appended, superseding the stale `ok` row — if the
+    *    key later reappears, pendingParts sees the non-ok latest row and
+    *    recomputes.
+    */
   def runStage(
       spark: SparkSession,
       input: DataFrame,
@@ -95,6 +151,29 @@ object Manifest {
       outPath: String,
       manifestPath: String
   )(transform: DataFrame => DataFrame): Long = {
+    val lin = lineage(input, urlCol, nParts)
+    val inputKeys = lin.select("part_key").collect().map(_.getLong(0)).toSet // ≤ nParts
+    val runSeq = nextRunSeq()
+
+    // ---- orphan reconciliation: on-disk partitions with no input key left
+    val orphans = outputKeys(spark, outPath) -- inputKeys
+    if (orphans.nonEmpty) {
+      orphans.foreach(deletePartitionDir(spark, outPath, _))
+      import spark.implicits._
+      orphans.toSeq.toDF("part_key")
+        .select(
+          lit(stage).as("stage"),
+          col("part_key").cast("long"),
+          lit(null).cast("long").as("input_fingerprint"),
+          lit(0L).as("rows_in"),
+          lit(0L).as("rows_out"),
+          lit(0L).as("wall_ms"),
+          lit("orphaned").as("status"),
+          lit(runSeq).as("run_seq")
+        )
+        .write.mode("append").parquet(manifestPath)
+    }
+
     val pending = pendingParts(spark, input, urlCol, nParts, manifestPath, stage)
     val pendingKeys = pending.collect() // small: ≤ nParts rows by construction
     if (pendingKeys.isEmpty) return 0L
@@ -102,6 +181,8 @@ object Manifest {
     val keys = pendingKeys.map(_.getLong(0)).toSet
     val keyLit = keys.toSeq
     val t0 = System.nanoTime()
+    // clear pending partitions so empty recomputes can't keep stale files
+    keys.foreach(deletePartitionDir(spark, outPath, _))
     val inputPending = input
       .withColumn("part_key", partKey(col(urlCol), nParts))
       .filter(col("part_key").isin(keyLit: _*))
@@ -114,9 +195,18 @@ object Manifest {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     withKey.write.mode("overwrite").partitionBy("part_key").parquet(outPath)
 
-    val rowsOut = spark.read.parquet(outPath)
-      .filter(col("part_key").isin(keyLit: _*))
-      .groupBy("part_key").agg(count(lit(1)).as("rows_out"))
+    // read-back row counts; when every recompute was empty there are no
+    // partition dirs left to read (schema inference would fail on the bare
+    // _SUCCESS marker), so short-circuit to zero counts
+    val rowsOut =
+      if (outputKeys(spark, outPath).isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL("part_key BIGINT, rows_out BIGINT"))
+      else
+        spark.read.parquet(outPath)
+          .filter(col("part_key").isin(keyLit: _*))
+          .groupBy("part_key").agg(count(lit(1)).as("rows_out"))
 
     val wallMs = (System.nanoTime() - t0) / 1000000
     val manifestRows = pending
@@ -128,7 +218,8 @@ object Manifest {
         col("rows_in"),
         coalesce(col("rows_out"), lit(0L)).as("rows_out"),
         lit(wallMs).as("wall_ms"),
-        lit("ok").as("status")
+        lit("ok").as("status"),
+        lit(runSeq).as("run_seq")
       )
     manifestRows.write.mode("append").parquet(manifestPath)
     keys.size.toLong

@@ -54,4 +54,24 @@ object Tables {
     */
   def pagesPartitioned(spark: SparkSession, dir: String, numPartitions: Int): Dataset[Page] =
     pages(spark, dir).repartition(numPartitions, col("url"))
+
+  /** Media fixture table: (media_id, image) where image is a REAL PNG
+    * (javax.imageio) with dimensions and fill a closed-form function of
+    * doc_id — width 16+id%48, height 16+id%24, gray id%256 — so decoded
+    * metadata is oracle-checkable in SQL (q33). Narrow per-row map; the
+    * binary column is synthesized, never shuffled.
+    */
+  def media(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    read(spark, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 48).toInt
+        val h = 16 + (id % 24).toInt
+        val g = (id % 256).toInt
+        (id, graft.operators.Multimodal.encodePng(w, h, g))
+      })
+      .toDF("media_id", "image")
+  }
 }

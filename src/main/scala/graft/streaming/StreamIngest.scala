@@ -56,9 +56,62 @@ object StreamIngest {
     q.awaitTermination()
   }
 
-  /** Per-key sessionization over a bounded drain (batch flatMapGroups).
-    * The continuous-stream equivalent with explicit state is
-    * `sessionizeStateful` below — same key, same output schema.
+  /** Bounded-memory sessionization — the 100 TB path: secondary sort
+    * (repartition on the user hash, sortWithinPartitions by (user, ts) —
+    * Spark's external sort spills to disk) + one streaming pass per
+    * partition that holds exactly ONE open session, never a key's event
+    * array. A degenerate bot key costs O(1) executor memory here, vs
+    * O(events-per-key) in `sessionize`'s flatMapGroups materialization —
+    * that difference is an OOM at 100× skew. Identical output contract
+    * (the spec asserts equality on a pathological single-key input).
+    */
+  def sessionizeSorted(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val gapMs = gapMinutes.toLong * 60000
+    events
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .repartition(parts, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"))
+      .mapPartitions { rows =>
+        var has = false
+        var cur = 0L
+        var start: java.sql.Timestamp = null
+        var last: java.sql.Timestamp = null
+        var n = 0
+        val closed = rows.flatMap { case (u, t) =>
+          if (!has) { has = true; cur = u; start = t; last = t; n = 1; Iterator.empty }
+          else if (u != cur || t.getTime - last.getTime > gapMs) {
+            val emit = (cur, start, last, n)
+            cur = u; start = t; last = t; n = 1
+            Iterator.single(emit)
+          } else { last = t; n += 1; Iterator.empty }
+        }
+        // lazily appended — evaluated only after `closed` drains, flushing
+        // the final open session of the partition
+        closed ++ new Iterator[(Long, java.sql.Timestamp, java.sql.Timestamp, Int)] {
+          private var done = false
+          def hasNext: Boolean = !done && has
+          def next(): (Long, java.sql.Timestamp, java.sql.Timestamp, Int) = {
+            done = true; (cur, start, last, n)
+          }
+        }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events")
+  }
+
+  /** Per-key sessionization over a bounded drain (batch flatMapGroups) —
+    * the typed-API form (§2.9). NOTE: materializes one array per key, so a
+    * degenerate bot key can OOM an executor; `sessionizeSorted` above is the
+    * skew-safe form and is what q39/the pipeline use. The continuous-stream
+    * equivalent with explicit state is `sessionizeStateful` below — same
+    * key, same output schema.
     */
   def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,338 @@
+package graft.text
+
+import scala.collection.mutable
+import graft.text.Html.Elem
+
+/** E2 — the composed MediaWiki diff-table → RDF walk: the reference's primary
+  * entry point `convert_to_rdf` re-expressed as a pure function over one diff
+  * document, so the distributed operator (graft.operators.DiffTableRdf) is a
+  * narrow per-row flatMap.
+  *
+  * Semantics ported 1:1 from /root/reference/src/wikidata_update/
+  * get_updates.py:
+  *  - row walk + class routing (diff-lineno / diff-deletedline /
+  *    diff-addedline)                          191-358
+  *  - extract_and_normalize_main_predicate     427-487 (incl. the schema-row
+  *    `_`→`-` language fix at 472-476 and the last-sub-prop override at 460-462)
+  *  - normalize_predicate                      360-373 (via SparqlFormat)
+  *  - handle_claim_updates                     490-514
+  *  - process_flat_changes                     376-401 (incl. the literal
+  *    `ll` prefix quirk at 398 and the discarded qualifier re-read at 385)
+  *  - aggregate_nested_elements                404-418
+  *  - remove_wb_details                        421-424
+  *  - handle_nested                            575-629
+  *  - generate_rdf + ?statement substitution   517-572 + 683-688 (incl. the
+  *    schema-branch `"\n\t\t"` join and the property-branch `DELETE DATA{`
+  *    missing-space quirks)
+  *  - extract_href                             883-916
+  *  - create_a_tag                             944-948
+  *
+  * Deliberate substitutions (the reference's three network calls):
+  *  - statement-id lookup (806-881) → SparqlFormat.mintStatementId content
+  *    hash (J3, oracle-proven by q16);
+  *  - reference-hash lookup via entity JSON (584-586 + 694-701) →
+  *    `mintRefHash` content hash (J5);
+  *  - time-value resolution from revisioned entity JSON (598-616): the
+  *    reference's own except-branch falls back to extract_href when the JSON
+  *    is unavailable — we take that branch deterministically. The v:-node
+  *    resolution path (get_time_node, 734-803) is the J4 join operator
+  *    (graft.operators.TimeNodes), exercised by q45; the TimeValue block
+  *    emission (handle_time_node, 632-668) is `timeNodeBlock` below.
+  *
+  * One scoping deviation: STATEMENT_ID is module-global in the reference
+  * (line 102), persisting across *documents*; here it persists across flushes
+  * WITHIN one document but resets per document — cross-row mutable state
+  * cannot be shared across rows of a distributed dataset, and per-document
+  * reset makes the operator deterministic under any partitioning.
+  */
+object DiffHtml {
+
+  /** One emitted update block. `op` ∈ {DELETE, INSERT}. */
+  final case class RdfOut(subject: String, op: String, rdf: String, timestamp: String)
+
+  /** Deterministic reference-node hash (J5 substitution for
+    * get_reference_hash, get_updates.py:694-701).
+    */
+  def mintRefHash(entityId: String, revId: Long, pid: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$entityId|$revId|$pid".getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** extract_href (get_updates.py:883-916) over a parsed tag. */
+  def extractHref(tag: Elem): String = {
+    val aTag = if (tag.name == "a") Some(tag) else tag.find(_.name == "a")
+    val bTag =
+      if (tag.name == "b") Some(tag)
+      else tag.find(e => e.name == "b" && (e.hasClass("wb-time-rendered") || e.hasClass("wb-quantity-rendered")))
+
+    aTag.flatMap(_.attr("href")) match {
+      case Some(h) if h.contains("Property:") =>
+        return h.split(java.util.regex.Pattern.quote("Property:"), -1)(1)
+      case Some(h) if h.startsWith("/wiki/Q") =>
+        return "wd:" + h.split("/", -1)(2)
+      case _ => ()
+    }
+    tag.attr("title") match {
+      case Some(t) if t.contains("Property:") =>
+        return t.split(java.util.regex.Pattern.quote("Property:"), -1)(1)
+      case _ => ()
+    }
+    val text = tag.getTextRaw
+    if (text.contains("P:")) return text.split(java.util.regex.Pattern.quote("P:"), -1)(1).trim
+    val src = bTag.map(_.getTextRaw).getOrElse(text)
+    "\"" + src.trim.replace("\"", "\\\"") + "\""
+  }
+
+  /** create_a_tag (get_updates.py:944-948). */
+  private def aTagOf(text: String): Elem = Elem("a", Vector.empty, Vector(Html.TextNode(text)))
+
+  /** aggregate_nested_elements (get_updates.py:404-418). */
+  def aggregateNested(spanTags: Seq[Elem]): Vector[Elem] =
+    spanTags.flatMap { span =>
+      val tuple = span.findAll(t =>
+        t.name == "a" || t.name == "b" ||
+          (t.name == "span" && t.hasClass("wb-monolingualtext-value")))
+      if (tuple.length == 2) tuple
+      else if (tuple.length == 1 && span.getTextRaw.trim.split(":", -1).length > 1) {
+        val obj = span.getTextRaw.trim.split(":", -1)(1).trim
+        tuple :+ aTagOf(obj)
+      } else Vector.empty
+    }.toVector
+
+  /** remove_wb_details (get_updates.py:421-424): drop the first nested
+    * `wb-details wb-time-details` table.
+    */
+  def removeWbDetails(value: Elem): Elem =
+    value.removeFirst(e => e.name == "table" && e.hasClass("wb-details") && e.hasClass("wb-time-details"))
+
+  /** handle_nested (get_updates.py:575-629) over parsed tags, with the
+    * deterministic mints documented in the object Scaladoc. Fragment-level
+    * statement shapes match HrefExtract.handleNested (the C12 unit port).
+    */
+  def handleNestedTags(
+      tags: Seq[Elem],
+      currentPredicate: String,
+      entityId: String,
+      revId: Long,
+      mainPredicate: String
+  ): String = {
+    if (currentPredicate != null && currentPredicate.startsWith("ps:"))
+      return s"  ?statement $currentPredicate ${extractHref(tags.head)} ."
+    val (prefix, refHash, header) = currentPredicate match {
+      case "prov:wasDerivedFrom" =>
+        val h = mintRefHash(entityId, revId, Option(mainPredicate).map(_.drop(2)).getOrElse(""))
+        ("pr", Some(h),
+          s"  ?statement $currentPredicate ref:$h .\n" +
+            s"  ref:$h a wikibase:Reference .\n")
+      case "qualifier" => ("pq", None, "")
+      case _           => ("ps", None, "")
+    }
+    val sb = new StringBuilder(header)
+    var i = 0
+    while (i + 1 < tags.length) {
+      val pred = extractHref(tags(i))
+      val obj = extractHref(tags(i + 1)) // time-rendered <b> → reference's own JSON-less fallback branch
+      refHash match {
+        case Some(h)                          => sb.append(s"  ref:$h $prefix:$pred $obj .\n")
+        case None if currentPredicate == "qualifier" => sb.append(s"  ?statement $prefix:$pred $obj .\n")
+        case None                             => sb.append(s"  wd:$entityId $prefix:$pred $obj .\n")
+      }
+      i += 2
+    }
+    sb.toString
+  }
+
+  /** handle_time_node (get_updates.py:632-668): the TimeValue block emitted
+    * when a time-rendered object resolves to a `v:` node. Pure; feeds the
+    * same output channel as the main walk.
+    */
+  def timeNodeBlock(
+      timeNodeId: String,
+      time: Option[String],
+      precision: Option[Int],
+      timezone: Option[Int],
+      calendarModel: Option[String],
+      action: String
+  ): String = {
+    val op = if (action == "delete") "DELETE" else "INSERT"
+    val sb = new StringBuilder(s"$op DATA {\n")
+    sb.append(s"  $timeNodeId a wikibase:TimeValue .\n")
+    time.filter(_.nonEmpty).foreach(t => sb.append(s"  $timeNodeId wikibase:timeValue '$t'^^xsd:dateTime .\n"))
+    precision.foreach(p => sb.append(s"  $timeNodeId wikibase:timePrecision '$p'^^xsd:integer .\n"))
+    timezone.foreach(tz => sb.append(s"  $timeNodeId wikibase:timeTimezone '$tz'^^xsd:integer .\n"))
+    calendarModel.filter(_.nonEmpty).foreach(c => sb.append(s"  $timeNodeId wikibase:timeCalendarModel '$c' .\n"))
+    sb.append("};\n")
+    sb.toString
+  }
+
+  private def tdWithClass(row: Elem, cls: String): Option[Elem] =
+    row.find(e => e.name == "td" && e.hasClass(cls))
+
+  /** process_flat_changes (get_updates.py:376-401). Appends to `statements`. */
+  private def processFlat(
+      statements: mutable.ArrayBuffer[String],
+      subject: String,
+      currentPredicate: String,
+      language: String,
+      value: Elem,
+      aggregatedText: String
+  ): Unit = {
+    if (currentPredicate == null) return
+    var v = extractHref(value)
+    if (currentPredicate == "qualifier") {
+      statements += s"  ?statement pq:$v $v ." // reference re-reads the span text afterwards but discards it (385-386)
+    } else if (currentPredicate == "wikibase:rank") {
+      v = "wikibase:" + SparqlFormat.toCamelCase(v)
+      statements += s"  ?statement $currentPredicate $v ."
+    } else if (currentPredicate.startsWith("ps")) {
+      statements += s"  ?statement $currentPredicate $v ."
+    } else if (aggregatedText != null && currentPredicate.startsWith("schema")) {
+      statements += s"  wd:$subject $currentPredicate $aggregatedText$language ."
+    } else {
+      // literal "ll" prefix — reference quirk preserved (get_updates.py:398)
+      statements += s"  wd:$subject ll$currentPredicate $v$language ."
+    }
+  }
+
+  /** The full convert_to_rdf walk (get_updates.py:191-358). */
+  def convertToRdf(
+      diffHtml: String,
+      entityId: String,
+      timestamp: String,
+      newRevId: Long,
+      oldRevId: Long
+  ): Seq[RdfOut] = {
+    val root = Html.parse(diffHtml)
+    val out = mutable.ArrayBuffer[RdfOut]()
+    val deletes = mutable.ArrayBuffer[String]()
+    val inserts = mutable.ArrayBuffer[String]()
+    var current: String = null
+    var main: String = null
+    var mainType: String = null
+    var language = ""
+    var addRemoveClaim = false
+    var statementId: Option[String] = None // persists across flushes within the doc (global at reference:102)
+
+    // generate_rdf (517-572)
+    def flush(): Unit = {
+      if (deletes.isEmpty && inserts.isEmpty) return
+      if (mainType == "schema") {
+        if (deletes.nonEmpty)
+          out += RdfOut(entityId, "DELETE", "DELETE DATA {\n" + deletes.mkString("\n\t\t") + "\n};", timestamp)
+        if (inserts.nonEmpty)
+          out += RdfOut(entityId, "INSERT", "INSERT DATA {\n" + inserts.mkString("\n\t\t") + "\n};", timestamp)
+      } else {
+        if (main != null) {
+          inserts.foreach { ins =>
+            if (ins.startsWith("  ?statement"))
+              SparqlFormat.getThirdElement(ins).foreach { obj =>
+                statementId = Some(SparqlFormat.mintStatementId(entityId, main.drop(2), obj))
+              }
+          }
+          deletes.foreach { del =>
+            if (del.startsWith("  ?statement"))
+              SparqlFormat.getThirdElement(del).foreach { obj =>
+                statementId = Some(SparqlFormat.mintStatementId(entityId, main.drop(2), obj))
+              }
+          }
+        }
+        val (ins2, del2) = statementId match {
+          case Some(id) => (inserts.map(_.replace("?statement", id)), deletes.map(_.replace("?statement", id)))
+          case None     => (inserts.toSeq, deletes.toSeq)
+        }
+        if (del2.nonEmpty)
+          out += RdfOut(entityId, "DELETE", "DELETE DATA{\n" + del2.mkString("\n") + "\n};", timestamp) // missing space: reference:559
+        if (ins2.nonEmpty)
+          out += RdfOut(entityId, "INSERT", "INSERT DATA {\n" + ins2.mkString("\n") + "\n};", timestamp)
+      }
+      deletes.clear(); inserts.clear()
+    }
+
+    val rows = root.findAll(_.name == "tr")
+    rows.foreach { row =>
+      // ---- extract_and_normalize_main_predicate (427-487), flushes first
+      if (tdWithClass(row, "diff-lineno").isDefined) {
+        flush()
+        val tdText = row.getTextStripped
+        row.find(_.name == "a") match {
+          case Some(a) =>
+            val PropPat = """/wiki/Property:(P\d+)""".r
+            PropPat.findFirstMatchIn(a.outerHtml).foreach { m =>
+              current = "p:" + m.group(1)
+              main = current
+              tdText.split("/", -1).drop(2).foreach(sp => current = sp.trim)
+            } // no match → reference raises UnboundLocalError; we keep the previous predicate
+            mainType = "property"
+            language = ""
+          case None =>
+            current = "schema:" + tdWithClass(row, "diff-lineno").get.getTextRaw.trim.replace(" ", "")
+            val langList = current.split("/", -1).drop(1)
+            language =
+              if (langList.nonEmpty &&
+                  (current.toLowerCase.contains("name") || current.toLowerCase.contains("label")))
+                ("@" + langList(0)).replace("_", "-") // reference:472-476
+              else ""
+            current = current.split("/", -1)(0)
+            main = current
+            mainType = "schema"
+        }
+      }
+
+      // ---- per-row predicate normalization (231; reference crashes on a
+      //      pre-lineno row — we skip until the first lineno row instead)
+      if (current != null) {
+        val (norm, isClaim) = SparqlFormat.normalizePredicate(current, main)
+        current = norm
+        if (isClaim) addRemoveClaim = true
+      }
+
+      val targetClass: Option[String] =
+        if (tdWithClass(row, "diff-deletedline").isDefined) Some("diff-deletedline")
+        else if (tdWithClass(row, "diff-addedline").isDefined) Some("diff-addedline")
+        else None
+
+      // ---- handle_claim_updates (490-514)
+      if (addRemoveClaim) {
+        targetClass.foreach { tc =>
+          val buf = if (tc == "diff-deletedline") deletes else inserts
+          buf += "  ?statement a wikibase:Statement ."
+          buf += "  ?statement a wikibase:BestRank ."
+          buf += s"  wd:$entityId ${current.replace("ps:", "p:")} ?statement ."
+          val aTag = tdWithClass(row, tc).get.find(_.name == "a")
+          aTag.flatMap(_.attr("href")).foreach { href =>
+            val link = "<" + href.replace("https", "http") + ">"
+            buf += s"  ?statement ${current.replace("ps:", "psn:")} $link ."
+            buf += s"  wd:$entityId ${current.replace("ps:", "wdtn:")} $link ."
+          }
+          aTag.map(_.getTextRaw).filter(_.nonEmpty).foreach { txt =>
+            buf += s"  wd:$entityId ${current.replace("ps:", "wdt:")} " + "\"" + txt + "\" ."
+          }
+        }
+        addRemoveClaim = false
+      }
+
+      // ---- deleted values (246-294) / added values (297-345): same shape,
+      //      del/ins tag, old/new revid, delete/insert buffer
+      def processSide(tdCls: String, changeTag: String, revId: Long, buf: mutable.ArrayBuffer[String]): Unit = {
+        if (tdWithClass(row, tdCls).isEmpty) return
+        val aggregated =
+          "\"" + row.findAll(e => e.name == "td" && e.hasClass(tdCls)).map(_.getTextRaw).mkString(" ") + "\""
+        row.find(e => e.name == changeTag && e.hasClass("diffchange")).foreach { raw =>
+          val value = removeWbDetails(raw)
+          val nested = aggregateNested(value.findAll(_.name == "span"))
+          if (nested.nonEmpty && nested.length % 2 == 0)
+            buf += handleNestedTags(nested, current, entityId, revId, main)
+          else if (nested.length > 2 && nested.length % 2 != 0)
+            buf += handleNestedTags(nested.dropRight(1), current, entityId, revId, main)
+          else if (current != null)
+            processFlat(buf, entityId, current, language, value, aggregated)
+        }
+      }
+      processSide("diff-deletedline", "del", oldRevId, deletes)
+      processSide("diff-addedline", "ins", newRevId, inserts)
+    }
+
+    flush()
+    out.toSeq
+  }
+}

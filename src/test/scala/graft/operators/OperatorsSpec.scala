@@ -170,15 +170,22 @@ class OperatorsSpec extends SparkSpec {
     assert(brute.count(lsh.contains) >= 3)
   }
 
-  test("multimodal metadata: deterministic stub decode over binary column") {
-    val pages = Tables.pages(spark, sfDir).limit(10)
-    val meta = Multimodal.extractMeta(spark, pages).collect()
+  test("multimodal metadata: real PNG decode over binary column") {
+    // pure roundtrip: decode(encode(w, h, g)) == (w, h, w*h*g*3) exactly (PNG lossless)
+    val bytes = Multimodal.encodePng(20, 10, 37)
+    assert(Multimodal.isPng(bytes))
+    assert(Multimodal.decodeImage(bytes) == ((20, 10, 20L * 10 * 37 * 3)))
+
+    val media = Tables.media(spark, sfDir).limit(10)
+    val meta = Multimodal.imageMeta(spark, media).collect()
     assert(meta.length == 10)
     meta.foreach { m =>
-      assert(m.n_bytes > 0 && m.magic.startsWith("<!DOCTYPE"))
-      assert(m.width >= 16 && m.height >= 9)
+      assert(m.is_png && m.n_bytes > 8)
+      assert(m.width == 16 + (m.media_id % 48).toInt)
+      assert(m.height == 16 + (m.media_id % 24).toInt)
+      assert(m.px_sum == m.width.toLong * m.height * (m.media_id % 256) * 3)
     }
-    val frames = Multimodal.sampleFrames(spark, pages).collect()
+    val frames = Multimodal.sampleFrames(spark, Tables.pages(spark, sfDir).limit(10)).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.getAs[Int]("frame_idx") % 4 == 0))
   }

@@ -136,5 +136,50 @@ class PipelineSpec extends SparkSpec {
     val man = spark.read.parquet(s"$tmp/manifest")
     assert(man.columns.toSet == Manifest.schemaCols.toSet)
     assert(man.filter(col("rows_out") > 0).count() > 0)
+
+    // recomputed partitions must NOT stay pending (latest-row-wins: the
+    // superseded fingerprint row is ignored) — a 4th run computes nothing
+    val n4 = Manifest.runStage(spark, input2, "url", 8, "tokenize", s"$tmp/out", s"$tmp/manifest")(stageFn)
+    assert(n4 == 0)
+  }
+
+  test("manifest: empty recompute clears stale partition files; vanished keys are orphaned") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-manifest2").toString
+    def mkInput(urls: Seq[String]) = urls.toDF("url").withColumn("payload", length(col("url")))
+    val urls = (0 until 64).map(i => s"https://example.org/u/$i")
+    val id: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df => df
+
+    val n1 = Manifest.runStage(spark, mkInput(urls), "url", 4, "s", s"$tmp/out", s"$tmp/manifest")(id)
+    assert(n1 == 4)
+    assert(spark.read.parquet(s"$tmp/out").count() == 64)
+
+    // same keys, but the transform now yields ZERO rows for every partition:
+    // stale files must be cleared, rows_out must read 0 (not last run's rows)
+    val urls2 = urls.map(_ + "x") // every partition's fingerprint changes, keys may shift
+    val empty: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(lit(false))
+    Manifest.runStage(spark, mkInput(urls2), "url", 4, "s", s"$tmp/out", s"$tmp/manifest")(empty)
+    def diskKeys(): Set[String] = new java.io.File(s"$tmp/out").listFiles()
+      .map(_.getName).filter(_.startsWith("part_key=")).toSet
+    assert(diskKeys().isEmpty) // stale files cleared, nothing rewritten
+    val latestOk = Manifest.latestRows(spark.read.parquet(s"$tmp/manifest"), "s")
+      .filter(col("status") === "ok")
+    assert(latestOk.agg(sum("rows_out")).head().getLong(0) == 0L)
+
+    // input shrinks to keys hashing into ONE partition: the other on-disk
+    // partitions are orphans — dirs deleted, `orphaned` rows appended, and a
+    // reappearing key recomputes (latest row is non-ok)
+    val n3 = Manifest.runStage(spark, mkInput(urls), "url", 4, "s", s"$tmp/out", s"$tmp/manifest")(id)
+    assert(n3 == 4 && spark.read.parquet(s"$tmp/out").count() == 64)
+    val one = mkInput(urls).withColumn("pk", Manifest.partKey(col("url"), 4))
+    val keepKey = one.select("pk").head().getLong(0)
+    val shrunk = one.filter(col("pk") === keepKey).drop("pk")
+    Manifest.runStage(spark, shrunk, "url", 4, "s", s"$tmp/out", s"$tmp/manifest")(id)
+    assert(diskKeys() == Set(s"part_key=$keepKey")) // orphan dirs gone
+    assert(spark.read.parquet(s"$tmp/out").count() == shrunk.count())
+    // full input returns → the orphaned keys recompute and the output is whole again
+    val n5 = Manifest.runStage(spark, mkInput(urls), "url", 4, "s", s"$tmp/out", s"$tmp/manifest")(id)
+    assert(n5 == 3 && spark.read.parquet(s"$tmp/out").count() == 64)
   }
 }

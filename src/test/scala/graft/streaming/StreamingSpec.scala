@@ -58,4 +58,33 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 09:00:00.0", 1)
     ))
   }
+
+  test("sessionizeSorted agrees with sessionize on real events") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val a = StreamIngest.sessionize(spark, ev, 30)
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getInt(3))).toSet
+    val b = StreamIngest.sessionizeSorted(spark, ev, 30)
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getInt(3))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("sessionizeSorted: pathological bot key (200k events, one user) stays bounded") {
+    import spark.implicits._
+    // one degenerate key with 200k events split into 2k sessions by gap —
+    // the secondary-sort path streams over the sorted run holding ONE open
+    // session (O(1) per key; Spark's external sort spills), so this is the
+    // skew shape that OOMs a per-key-array implementation at scale, passing
+    // through the bounded-memory path instead.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ev = spark.range(200000).select(
+      lit(7L).as("user_id"),
+      // 100 events per session burst (1s apart), bursts 1h apart
+      expr(s"timestamp_millis(${base}L + (id DIV 100) * 3600000 + (id % 100) * 1000)").as("ts")
+    )
+    val out = StreamIngest.sessionizeSorted(spark, ev, gapMinutes = 30, numPartitions = 4)
+    val agg = out.agg(count(lit(1)), sum("n_events"), max("n_events")).head()
+    assert(agg.getLong(0) == 2000L)   // 2000 sessions
+    assert(agg.getLong(1) == 200000L) // every event accounted for
+    assert(agg.getInt(2) == 100)      // each session exactly one burst
+  }
 }

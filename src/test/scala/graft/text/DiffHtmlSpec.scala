@@ -1,0 +1,288 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.DiffHtml.RdfOut
+
+/** Golden port of the convert_to_rdf walk semantics
+  * (/root/reference/src/wikidata_update/get_updates.py:191-572): row routing
+  * by CSS class, main-predicate extraction with sub-prop override and the
+  * schema-row `_`→`-` language fix, handle_claim_updates, nested pairing,
+  * wb-details stripping, process_flat quirks (camel-cased rank, the literal
+  * `ll` prefix), and generate_rdf's format quirks (schema `"\n\t\t"` join,
+  * property `DELETE DATA{` missing space, `?statement` substitution with the
+  * minted id persisting across flushes).
+  */
+class DiffHtmlSpec extends AnyFunSuite {
+
+  private val TS = "2024-01-01 00:00:00"
+
+  private def run(html: String): Seq[RdfOut] =
+    DiffHtml.convertToRdf(html, "Q42", TS, 100L, 99L)
+
+  // ---------------------------------------------------------------- Html
+
+  test("Html parser: tree shape, classes, text semantics") {
+    val root = Html.parse(
+      """<table><tr class="a b"><td class="diff-lineno">label / en</td></tr>""" +
+        """<tr><td> x <b>y</b> z </td></tr></table>""")
+    val trs = root.findAll(_.name == "tr")
+    assert(trs.length == 2)
+    assert(trs(0).hasClass("a") && trs(0).hasClass("b"))
+    assert(trs(0).getTextRaw == "label / en")
+    assert(trs(1).getTextRaw == " x y z ")
+    assert(trs(1).getTextStripped == "xyz") // get_text(strip=True): per-node strip, no separator
+  }
+
+  test("Html parser: entities, comments, void and self-closing tags") {
+    val root = Html.parse("""<div title="a &amp; b"><!-- no --><br><img src="x"/>T &lt; U</div>""")
+    val div = root.find(_.name == "div").get
+    assert(div.attr("title").contains("a & b"))
+    assert(div.getTextRaw == "T < U")
+    assert(div.findAll(_.name == "br").length == 1)
+  }
+
+  // ---------------------------------------------------------- extract_href
+
+  test("extractHref: property href, Q href, title, P: text, b-rendered, plain") {
+    def frag(h: String): Html.Elem = Html.parse(h).children.head.asInstanceOf[Html.Elem]
+    assert(DiffHtml.extractHref(frag("""<a href="/wiki/Property:P31">instance of</a>""")) == "P31")
+    assert(DiffHtml.extractHref(frag("""<a href="/wiki/Q42">Adams</a>""")) == "wd:Q42")
+    assert(DiffHtml.extractHref(frag("""<span title="Property:P569">x</span>""")) == "P569")
+    assert(DiffHtml.extractHref(frag("""<span>P: P123 </span>""")) == "P123")
+    assert(DiffHtml.extractHref(frag("""<span><b class="wb-time-rendered">1 May 2020</b></span>""")) ==
+      "\"1 May 2020\"")
+    assert(DiffHtml.extractHref(frag("""<del class="diffchange">say "hi"</del>""")) ==
+      "\"say \\\"hi\\\"\"")
+  }
+
+  // -------------------------------------------------- schema label family
+
+  test("schema label edit: language tag, aggregated text, tab-join block format") {
+    val out = run(
+      """<table>
+        |<tr><td class="diff-lineno">label / en</td></tr>
+        |<tr><td class="diff-deletedline"><div><del class="diffchange">Old Name</del></div></td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange">New Name</ins></div></td></tr>
+        |</table>""".stripMargin)
+    assert(out == Seq(
+      RdfOut("Q42", "DELETE", "DELETE DATA {\n  wd:Q42 schema:label \"Old Name\"@en .\n};", TS),
+      RdfOut("Q42", "INSERT", "INSERT DATA {\n  wd:Q42 schema:label \"New Name\"@en .\n};", TS)
+    ))
+  }
+
+  test("schema description: no language tag (neither name nor label)") {
+    val out = run(
+      """<table>
+        |<tr><td class="diff-lineno">description / en</td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange">a thing</ins></div></td></tr>
+        |</table>""".stripMargin)
+    assert(out == Seq(
+      RdfOut("Q42", "INSERT", "INSERT DATA {\n  wd:Q42 schema:description \"a thing\" .\n};", TS)))
+  }
+
+  test("schema-row language underscore fix: zh_hant → @zh-hant (reference:472-476)") {
+    val out = run(
+      """<table>
+        |<tr><td class="diff-lineno">label / zh_hant</td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange">名</ins></div></td></tr>
+        |</table>""".stripMargin)
+    assert(out.head.rdf.contains("\"名\"@zh-hant ."))
+  }
+
+  test("two deleted cells aggregate with a space (get_text join, reference:249-250)") {
+    val out = run(
+      """<table>
+        |<tr><td class="diff-lineno">label / en</td></tr>
+        |<tr><td class="diff-deletedline">Old</td><td class="diff-deletedline"><del class="diffchange">Name</del></td></tr>
+        |</table>""".stripMargin)
+    assert(out == Seq(
+      RdfOut("Q42", "DELETE", "DELETE DATA {\n  wd:Q42 schema:label \"Old Name\"@en .\n};", TS)))
+  }
+
+  test("multi-statement schema block joins with newline+tabs (reference:525-526)") {
+    val out = run(
+      """<table>
+        |<tr><td class="diff-lineno">aliases / en</td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange">A1</ins></div></td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange">A2</ins></div></td></tr>
+        |</table>""".stripMargin)
+    assert(out == Seq(RdfOut("Q42", "INSERT",
+      "INSERT DATA {\n  wd:Q42 schema:aliases \"A1\" .\n\t\t  wd:Q42 schema:aliases \"A2\" .\n};", TS)))
+  }
+
+  // ------------------------------------------------------- property family
+
+  test("whole-claim add: handle_claim_updates + ?statement substitution with minted id") {
+    val out = run(
+      """<table>
+        |<tr><td class="diff-lineno">Property / <a href="/wiki/Property:P31">instance of</a></td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange"><a href="https://www.wikidata.org/wiki/Q5">human</a></ins></div></td></tr>
+        |</table>""".stripMargin)
+    val sid = SparqlFormat.mintStatementId("Q42", "P31", "\"human\"")
+    assert(out == Seq(RdfOut("Q42", "INSERT",
+      "INSERT DATA {\n" +
+        s"  $sid a wikibase:Statement .\n" +
+        s"  $sid a wikibase:BestRank .\n" +
+        s"  wd:Q42 p:P31 $sid .\n" +
+        s"  $sid psn:P31 <http://www.wikidata.org/wiki/Q5> .\n" + // https→http (reference:502)
+        s"  wd:Q42 wdtn:P31 <http://www.wikidata.org/wiki/Q5> .\n" +
+        s"  wd:Q42 wdt:P31 \"human\" .\n" +
+        s"  $sid ps:P31 \"human\" .\n};",
+      TS)))
+  }
+
+  test("whole-claim delete uses the DELETE DATA{ missing-space format (reference:559)") {
+    val out = run(
+      """<table>
+        |<tr><td class="diff-lineno">Property / <a href="/wiki/Property:P31">instance of</a></td></tr>
+        |<tr><td class="diff-deletedline"><div><del class="diffchange"><a href="https://www.wikidata.org/wiki/Q5">human</a></del></div></td></tr>
+        |</table>""".stripMargin)
+    assert(out.length == 1 && out.head.op == "DELETE")
+    assert(out.head.rdf.startsWith("DELETE DATA{\n"))
+    val sid = SparqlFormat.mintStatementId("Q42", "P31", "\"human\"")
+    assert(out.head.rdf.contains(s"  $sid ps:P31 \"human\" ."))
+  }
+
+  test("qualifier sub-prop: nested (a, time-b) pair → pq line, no statement id") {
+    val out = run(
+      """<table>
+        |<tr><td class="diff-lineno">Property / <a href="/wiki/Property:P39">position</a> / qualifier</td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange"><span><a href="/wiki/Property:P585">point in time</a>: <b class="wb-time-rendered">1 May 2020</b></span></ins></div></td></tr>
+        |</table>""".stripMargin)
+    // no ps: line anywhere → STATEMENT_ID stays unset → literal ?statement survives,
+    // and handle_nested's per-pair trailing \n yields the double newline before };
+    assert(out == Seq(RdfOut("Q42", "INSERT",
+      "INSERT DATA {\n  ?statement pq:P585 \"1 May 2020\" .\n\n};", TS)))
+  }
+
+  test("rank change: camel-cased wikibase:rank object (reference:386-388)") {
+    val out = run(
+      """<table>
+        |<tr><td class="diff-lineno">Property / <a href="/wiki/Property:P39">position</a> / rank</td></tr>
+        |<tr><td class="diff-deletedline"><div><del class="diffchange"><span>preferred rank</span></del></div></td></tr>
+        |</table>""".stripMargin)
+    assert(out == Seq(RdfOut("Q42", "DELETE",
+      "DELETE DATA{\n  ?statement wikibase:rank wikibase:PreferredRank .\n};", TS)))
+  }
+
+  test("reference sub-prop: prov:wasDerivedFrom header + pr lines with minted ref hash") {
+    val out = run(
+      """<table>
+        |<tr><td class="diff-lineno">Property / <a href="/wiki/Property:P39">position</a> / reference</td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange"><span><a href="/wiki/Property:P248">stated in</a> <a href="/wiki/Q36578">GND</a></span></ins></div></td></tr>
+        |</table>""".stripMargin)
+    val h = DiffHtml.mintRefHash("Q42", 100L, "P39")
+    assert(out == Seq(RdfOut("Q42", "INSERT",
+      "INSERT DATA {\n" +
+        s"  ?statement prov:wasDerivedFrom ref:$h .\n" +
+        s"  ref:$h a wikibase:Reference .\n" +
+        s"  ref:$h pr:P248 wd:Q36578 .\n\n};",
+      TS)))
+  }
+
+  test("statement id persists across flushes within a document (global quirk, reference:102)") {
+    val out = run(
+      """<table>
+        |<tr><td class="diff-lineno">Property / <a href="/wiki/Property:P31">instance of</a></td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange"><a href="https://www.wikidata.org/wiki/Q5">human</a></ins></div></td></tr>
+        |<tr><td class="diff-lineno">Property / <a href="/wiki/Property:P39">position</a> / rank</td></tr>
+        |<tr><td class="diff-deletedline"><div><del class="diffchange"><span>normal rank</span></del></div></td></tr>
+        |</table>""".stripMargin)
+    val sid = SparqlFormat.mintStatementId("Q42", "P31", "\"human\"")
+    assert(out.length == 2)
+    // the later rank flush minted nothing itself, but inherits the live id
+    assert(out(1) == RdfOut("Q42", "DELETE",
+      s"DELETE DATA{\n  $sid wikibase:rank wikibase:NormalRank .\n};", TS))
+  }
+
+  test("wb-details sub-table is stripped before nested extraction (reference:421-424)") {
+    val withDetails = run(
+      """<table>
+        |<tr><td class="diff-lineno">Property / <a href="/wiki/Property:P39">position</a> / qualifier</td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange"><span><a href="/wiki/Property:P585">point in time</a>: <b class="wb-time-rendered">1 May 2020</b><table class="wb-details wb-time-details"><tr><td><a href="/wiki/Q1985727">gregorian</a></td></tr></table></span></ins></div></td></tr>
+        |</table>""".stripMargin)
+    val without = run(
+      """<table>
+        |<tr><td class="diff-lineno">Property / <a href="/wiki/Property:P39">position</a> / qualifier</td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange"><span><a href="/wiki/Property:P585">point in time</a>: <b class="wb-time-rendered">1 May 2020</b></span></ins></div></td></tr>
+        |</table>""".stripMargin)
+    assert(withDetails == without) // the details <a> must not join the nested pairing
+  }
+
+  test("noise spans (single tag, no colon) contribute nothing; only well-formed pairs survive") {
+    val out = run(
+      """<table>
+        |<tr><td class="diff-lineno">Property / <a href="/wiki/Property:P39">position</a> / reference</td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange"><span><a href="/wiki/Property:P248">stated in</a> <a href="/wiki/Q36578">GND</a></span><span><b>orphan</b></span><span><a href="/wiki/Property:P813">retrieved</a></span></ins></div></td></tr>
+        |</table>""".stripMargin)
+    val h = DiffHtml.mintRefHash("Q42", 100L, "P39")
+    // span2 ([b], no colon) and span3 ([a], no colon) hit neither
+    // aggregate_nested_elements branch (reference:404-418) → only the first
+    // (a, a) pair reaches handle_nested. (The reference's odd-tail drop at
+    // 273-285 is defensive dead code: every branch appends 0 or 2 tags —
+    // the fragment-level drop itself is pinned in HrefExtractSpec.)
+    assert(out.head.rdf.contains(s"ref:$h pr:P248 wd:Q36578 ."))
+    assert(!out.head.rdf.contains("P813") && !out.head.rdf.contains("orphan"))
+  }
+
+  test("single-tag span with colon text synthesizes the object a-tag (reference:414-418)") {
+    val out = run(
+      """<table>
+        |<tr><td class="diff-lineno">Property / <a href="/wiki/Property:P39">position</a> / qualifier</td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange"><span><a href="/wiki/Property:P1545">series ordinal</a>: 7</span></ins></div></td></tr>
+        |</table>""".stripMargin)
+    assert(out == Seq(RdfOut("Q42", "INSERT",
+      "INSERT DATA {\n  ?statement pq:P1545 \"7\" .\n\n};", TS)))
+  }
+
+  test("empty diff yields no output; content before any lineno row is skipped") {
+    assert(run("<table></table>").isEmpty)
+    assert(run("""<table><tr><td class="diff-addedline"><ins class="diffchange">x</ins></td></tr></table>""").isEmpty)
+  }
+
+  test("full fixture document: 5 blocks, all families (matches q44 oracle closed form)") {
+    val html = DiffHtmlGen.generate(7L, 123L)
+    val out = DiffHtml.convertToRdf(html, "Q7", TS, 123L, 122L)
+    val sid = SparqlFormat.mintStatementId("Q7", "P31", "\"human 123\"")
+    assert(out == Seq(
+      RdfOut("Q7", "DELETE", "DELETE DATA {\n  wd:Q7 schema:label \"old label 123\"@en .\n};", TS),
+      RdfOut("Q7", "INSERT", "INSERT DATA {\n  wd:Q7 schema:label \"new label 123\"@en .\n};", TS),
+      RdfOut("Q7", "INSERT", "INSERT DATA {\n  ?statement pq:P585 \"time 123\" .\n\n};", TS),
+      RdfOut("Q7", "DELETE", "DELETE DATA{\n  ?statement wikibase:rank wikibase:NormalRank .\n};", TS),
+      RdfOut("Q7", "INSERT",
+        "INSERT DATA {\n" +
+          s"  $sid a wikibase:Statement .\n" +
+          s"  $sid a wikibase:BestRank .\n" +
+          s"  wd:Q7 p:P31 $sid .\n" +
+          s"  $sid psn:P31 <http://www.wikidata.org/wiki/Q5> .\n" +
+          s"  wd:Q7 wdtn:P31 <http://www.wikidata.org/wiki/Q5> .\n" +
+          s"  wd:Q7 wdt:P31 \"human 123\" .\n" +
+          s"  $sid ps:P31 \"human 123\" .\n};",
+        TS)
+    ))
+  }
+
+  test("handleNestedTags agrees with the fragment-level HrefExtract.handleNested (C12)") {
+    val tags = Seq(
+      """<a href="/wiki/Property:P248">stated in</a>""",
+      """<a href="/wiki/Q36578">GND</a>"""
+    )
+    val parsed = tags.map(t => Html.parse(t).children.head.asInstanceOf[Html.Elem])
+    val viaTree = DiffHtml.handleNestedTags(parsed, "qualifier", "Q42", 100L, "p:P39")
+    val viaFragments = HrefExtract.handleNested(tags, "qualifier", "Q42", None)
+    assert(viaTree == viaFragments)
+  }
+
+  test("timeNodeBlock: handle_time_node block shape (reference:632-668)") {
+    val b = DiffHtml.timeNodeBlock("v:abc", Some("2020-05-01T00:00:00Z"), Some(11), Some(0),
+      Some("http://www.wikidata.org/entity/Q1985727"), "delete")
+    assert(b ==
+      "DELETE DATA {\n" +
+        "  v:abc a wikibase:TimeValue .\n" +
+        "  v:abc wikibase:timeValue '2020-05-01T00:00:00Z'^^xsd:dateTime .\n" +
+        "  v:abc wikibase:timePrecision '11'^^xsd:integer .\n" +
+        "  v:abc wikibase:timeTimezone '0'^^xsd:integer .\n" +
+        "  v:abc wikibase:timeCalendarModel 'http://www.wikidata.org/entity/Q1985727' .\n" +
+        "};\n")
+  }
+}
