@@ -71,4 +71,38 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("In(event_type") || pushed.contains("event_type"), pushed)
     assert(pushed.contains("ts"), pushed)
   }
+
+  test("diff-table → RDF conversion is shuffle-free (narrow per-document flatMap)") {
+    val df = Queries.q44DiffHtml(spark, sfDir)
+    assert(countShuffles(df) == 0, initialPlan(df).toString)
+    assert(countBroadcasts(df) == 0)
+  }
+
+  test("time-node resolution joins by broadcast; the changes side never shuffles") {
+    val df = Queries.q45TimeNode(spark, sfDir)
+    assert(countBroadcasts(df) == 1, initialPlan(df).toString)
+    // the only exchanges belong to the dim-side aggregation, not the fact side
+    val plan = initialPlan(df)
+    val bcast = plan.collect { case e: BroadcastExchangeLike => e }.head
+    val shufflesOutsideDim = countShuffles(df) -
+      bcast.collect { case e: ShuffleExchangeLike => e }.size
+    assert(shufflesOutsideDim == 0, plan.toString)
+  }
+
+  test("embedding near-dup: the bucket self-join shuffles band keys + ids only, never vectors") {
+    val df = operators.Ann.nearDupPairs(
+      spark, Tables.read(spark, sfDir, "embeddings"), "vec_id", "embedding")
+    val plan = initialPlan(df)
+    val joins = plan.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty, plan.toString)
+    // the candidate-pair join is the one keyed on (band, bkey) — whatever
+    // physical strategy the planner picks, its inputs/outputs must not carry
+    // the float vectors (ids-only discipline; vectors join back per pair)
+    val pairJoins = joins.filter(_.leftKeys.size == 2)
+    assert(pairJoins.nonEmpty, plan.toString)
+    pairJoins.foreach { j =>
+      val carried = j.output.map(_.dataType.simpleString)
+      assert(!carried.exists(_.contains("array")), s"vectors ride the pair join: $carried")
+    }
+  }
 }

@@ -170,6 +170,23 @@ class OperatorsSpec extends SparkSpec {
     assert(brute.count(lsh.contains) >= 3)
   }
 
+  test("nearDupPairs: planted near-dups found, no false pairs, empty input safe") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val base = (0L until 40L).map(i => (i, Array.fill(32)(rng.nextGaussian().toFloat)))
+    // plant: ids 100+i are tiny perturbations of ids 0..9 (cosine ≈ 1)
+    val planted = base.take(10).map { case (i, v) =>
+      (100L + i, v.map(x => x * 1.0005f + 0.0001f))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Ann.nearDupPairs(spark, emb, "vec_id", "embedding", minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 10L).map(i => (i, 100L + i)).toSet)
+
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Ann.nearDupPairs(spark, empty, "vec_id", "embedding").count() == 0)
+  }
+
   test("multimodal metadata: real PNG decode over binary column") {
     // pure roundtrip: decode(encode(w, h, g)) == (w, h, w*h*g*3) exactly (PNG lossless)
     val bytes = Multimodal.encodePng(20, 10, 37)
