@@ -106,7 +106,8 @@ object Bench {
       "q26_minhash_pairs" -> (Queries.q26MinHashPairs _),
       "q29_ann_brute" -> (Queries.q29AnnBrute _),
       "q39_sessionize" -> (Queries.q39Sessionize _),
-      "q40_pipeline" -> (Queries.q40Pipeline _)
+      "q40_pipeline" -> (Queries.q40Pipeline _),
+      "q44_diff_html" -> (Queries.q44DiffHtml _)
     )
     val sHead = session(cpus)
     // untimed first-touch: file listing, parquet footers, codegen of the
@@ -135,7 +136,7 @@ object Bench {
     // another skews the ratio. Each PAIR therefore runs low then high
     // back-to-back so drift hits both sides of a pair.
     val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "2").toInt
-    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_PAIRS", "4").toInt
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_PAIRS", "3").toInt
     def pairStat(lo: Sample, hi: Sample): (Double, Double, Double) = {
       val raw = ((hi.triples / hi.sec) / (lo.triples / lo.sec)) / (coresHigh.toDouble / coresLow)
       val hw = (hi.hwOps / lo.hwOps) / (coresHigh.toDouble / coresLow)

@@ -52,26 +52,28 @@ object Main {
     } finally spark.stop()
   }
 
-  final case class Args(runArgs: Validate.RunArgs, data: String)
+  final case class Args(runArgs: Validate.RunArgs, data: String, diffHtml: Boolean = false)
 
   def parse(argv: Array[String]): Args = {
     var ra = Validate.RunArgs()
     var data = "/root/testdata/sf0.001"
+    var diffHtml = false
     var i = 0
     while (i < argv.length) {
       argv(i) match {
-        case "--latest" => ra = ra.copy(latest = true); i += 1
-        case "--start"  => ra = ra.copy(start = Some(argv(i + 1))); i += 2
-        case "--end"    => ra = ra.copy(end = Some(argv(i + 1))); i += 2
-        case "--type"   => ra = ra.copy(changeType = Some(argv(i + 1))); i += 2
-        case "--file"   => ra = ra.copy(file = Some(argv(i + 1))); i += 2
-        case "--number" => ra = ra.copy(number = Some(argv(i + 1))); i += 2
-        case "--id"     => ra = ra.copy(id = Some(argv(i + 1))); i += 2
-        case "--data"   => data = argv(i + 1); i += 2
-        case other      => System.err.println(s"unknown argument $other"); i += 1
+        case "--latest"    => ra = ra.copy(latest = true); i += 1
+        case "--start"     => ra = ra.copy(start = Some(argv(i + 1))); i += 2
+        case "--end"       => ra = ra.copy(end = Some(argv(i + 1))); i += 2
+        case "--type"      => ra = ra.copy(changeType = Some(argv(i + 1))); i += 2
+        case "--file"      => ra = ra.copy(file = Some(argv(i + 1))); i += 2
+        case "--number"    => ra = ra.copy(number = Some(argv(i + 1))); i += 2
+        case "--id"        => ra = ra.copy(id = Some(argv(i + 1))); i += 2
+        case "--data"      => data = argv(i + 1); i += 2
+        case "--diff-html" => diffHtml = true; i += 1
+        case other         => System.err.println(s"unknown argument $other"); i += 1
       }
     }
-    Args(ra, data)
+    Args(ra, data, diffHtml)
   }
 
   /** Deterministic change records in the recentchanges shape (F1/F2/F9
@@ -123,10 +125,40 @@ object Main {
         col("t.pred").as("pred"), col("t.obj").as("obj"))
   }
 
+  /** The E2 lifecycle (`--diff-html`): the reference's primary entry point —
+    * get_updates.main fetches each change's compare HTML and runs
+    * convert_to_rdf over it (get_updates.py:159-188, 1182), writing the
+    * EDIT_DELETE_RDFS/EDIT_INSERT_RDFS blocks through write_to_file
+    * (1077-1085). Here: changes → deterministic diff-table docs
+    * (DiffHtmlGen, the no-network stand-in for the compare API) → the
+    * distributed DiffTableRdf walk → blocks in the reference's file grammar.
+    * Output is bounded by the reference's own ≤501-change contract, so the
+    * driver-side collect is ≤ 5·limit blocks.
+    */
+  def runDiffHtml(spark: SparkSession, a: Args): String = {
+    import spark.implicits._
+    val changes = changeRecords(spark, a.data, a)
+      .select(
+        col("title").as("entity"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("revid").cast("long"),
+        col("old_revid").cast("long"),
+        regexp_extract(col("title"), "([0-9]+)", 1).cast("long").as("uid")
+      )
+      .as[(String, String, Long, Long, Long)]
+      .map { case (e, ts, r, o, u) => (e, ts, r, o, graft.text.DiffHtmlGen.generate(u, r)) }
+      .toDF("entity", "ts", "revid", "old_revid", "diff_html")
+    val blocks = operators.DiffTableRdf.convert(spark, changes)
+      .orderBy(col("ts").desc, col("entity").asc, col("rdf").asc)
+      .collect()
+    KgPipeline.goldenFile(blocks.map(_.getAs[String]("rdf")).toSeq)
+  }
+
   /** The whole E1 lifecycle, set-based. Returns the reference-grammar
     * changes file as a string.
     */
   def run(spark: SparkSession, a: Args): String = {
+    if (a.diffHtml) return runDiffHtml(spark, a)
     val changes = changeRecords(spark, a.data, a)
     val snaps = snapshotTriples(spark, a.data)
 

@@ -805,7 +805,10 @@ object Queries {
     * estimator calibration.
     */
   def q26MinHashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Dedup.minHashSignatures(s, t(s, dir, "documents"), "doc_id", "text")
+    // re-balance the single-file scan: shingling+64 minhashes is ~ms/doc CPU,
+    // so parallelism must follow cores, not the one input split
+    val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    val sigs = Dedup.minHashSignatures(s, docs, "doc_id", "text")
     Dedup.minHashCandidates(s, sigs, bands = 16, minEstJaccard = 0.7)
       .select(col("id1"), col("id2"))
   }
@@ -822,7 +825,7 @@ object Queries {
     * oracle is the literal all-pairs SQL of the same computation.
     */
   def q28JaccardVerify(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
     val sigs = Dedup.minHashSignatures(s, docs, "doc_id", "text")
     val cands = Dedup.minHashCandidates(s, sigs, bands = 16, minEstJaccard = 0.3)
     Dedup.verifyJaccard(s, docs, "doc_id", "text", cands, shingleN = 5, minJaccard = 0.6)
@@ -936,7 +939,12 @@ object Queries {
     */
   def q44DiffHtml(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // events is a single small parquet file (one input split) while the walk
+    // is ~130 µs/doc of CPU — explicitly re-balance so parallelism follows
+    // cores, not file layout (the north-rule pre-partition, as in
+    // Tables.pagesPartitioned; measured 11 s → ~1.5 s at sf0.1 local[32])
     val changes = t(s, dir, "events")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         concat(lit("Q"), col("user_id")).as("entity"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),

@@ -50,6 +50,11 @@ object DiffHtml {
   /** One emitted update block. `op` ∈ {DELETE, INSERT}. */
   final case class RdfOut(subject: String, op: String, rdf: String, timestamp: String)
 
+  // hot-path patterns compiled once (the walk runs per input row at scale)
+  private val PropPat = """/wiki/Property:(P\d+)""".r
+  private val PropertySplit = java.util.regex.Pattern.compile(java.util.regex.Pattern.quote("Property:"))
+  private val PColonSplit = java.util.regex.Pattern.compile(java.util.regex.Pattern.quote("P:"))
+
   /** Deterministic reference-node hash (J5 substitution for
     * get_reference_hash, get_updates.py:694-701).
     */
@@ -67,18 +72,18 @@ object DiffHtml {
 
     aTag.flatMap(_.attr("href")) match {
       case Some(h) if h.contains("Property:") =>
-        return h.split(java.util.regex.Pattern.quote("Property:"), -1)(1)
+        return PropertySplit.split(h, -1)(1)
       case Some(h) if h.startsWith("/wiki/Q") =>
         return "wd:" + h.split("/", -1)(2)
       case _ => ()
     }
     tag.attr("title") match {
       case Some(t) if t.contains("Property:") =>
-        return t.split(java.util.regex.Pattern.quote("Property:"), -1)(1)
+        return PropertySplit.split(t, -1)(1)
       case _ => ()
     }
     val text = tag.getTextRaw
-    if (text.contains("P:")) return text.split(java.util.regex.Pattern.quote("P:"), -1)(1).trim
+    if (text.contains("P:")) return PColonSplit.split(text, -1)(1).trim
     val src = bTag.map(_.getTextRaw).getOrElse(text)
     "\"" + src.trim.replace("\"", "\\\"") + "\""
   }
@@ -256,7 +261,6 @@ object DiffHtml {
         val tdText = row.getTextStripped
         row.find(_.name == "a") match {
           case Some(a) =>
-            val PropPat = """/wiki/Property:(P\d+)""".r
             PropPat.findFirstMatchIn(a.outerHtml).foreach { m =>
               current = "p:" + m.group(1)
               main = current

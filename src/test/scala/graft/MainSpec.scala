@@ -29,6 +29,18 @@ class MainSpec extends SparkSpec {
       .findAllIn(out).nonEmpty)
   }
 
+  test("E2 lifecycle (--diff-html): diff-table walk output in the reference file grammar") {
+    val out = Main.run(spark, Main.Args(
+      graft.text.Validate.RunArgs(latest = true, number = Some("4")), sfDir, diffHtml = true))
+    assert(out.startsWith("PREFIX wd: <http://www.wikidata.org/entity/>\n"))
+    // 4 changes × 5 blocks per generated diff document, blank-line separated
+    assert("(?m)^INSERT DATA \\{$".r.findAllIn(out).size == 4 * 3)
+    assert("(?m)^DELETE DATA \\{$".r.findAllIn(out).size == 4 * 1)
+    assert("(?m)^DELETE DATA\\{$".r.findAllIn(out).size == 4 * 1) // property-family quirk
+    // minted statement ids substituted in the whole-claim blocks
+    assert("s:Q\\d+-[0-9a-f]{32} a wikibase:Statement \\.".r.findAllIn(out).size == 4)
+  }
+
   test("new-entity path: old_revid==0 changes have INSERT-only diffs") {
     val out = Main.run(spark, Main.Args(
       graft.text.Validate.RunArgs(latest = true, changeType = Some("new"),

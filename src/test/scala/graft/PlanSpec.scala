@@ -72,10 +72,15 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("ts"), pushed)
   }
 
-  test("diff-table → RDF conversion is shuffle-free (narrow per-document flatMap)") {
+  test("diff-table → RDF conversion adds no exchange beyond the explicit input re-balance") {
     val df = Queries.q44DiffHtml(spark, sfDir)
-    assert(countShuffles(df) == 0, initialPlan(df).toString)
+    assert(countShuffles(df) == 1, initialPlan(df).toString) // the repartition only
     assert(countBroadcasts(df) == 0)
+    // the operator itself is narrow: no shuffle on already-distributed input
+    import spark.implicits._
+    val pre = Seq(("Q1", "2024-01-01 00:00:00", 2L, 1L, graft.text.DiffHtmlGen.generate(1, 2)))
+      .toDF("entity", "ts", "revid", "old_revid", "diff_html")
+    assert(countShuffles(operators.DiffTableRdf.convert(spark, pre)) == 0)
   }
 
   test("time-node resolution joins by broadcast; the changes side never shuffles") {
