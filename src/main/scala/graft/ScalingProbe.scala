@@ -15,7 +15,10 @@ object ScalingProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", math.max(cores * 2, 8))
+      .config("spark.sql.shuffle.partitions",
+        math.max(cores * sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "2").toInt, 8))
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -131,6 +131,46 @@ object KgPipeline {
     t.groupBy(col("subj"), col("pred"), col("obj"), col("url"))
       .agg(min(col("ts")).as("ts"))
 
+  final case class TripleRow(subj: String, pred: String, obj: String, url: String,
+      ts: java.sql.Timestamp)
+
+  /** Best QID per surface under the pipeline's top-1 rule (prior desc, qid
+    * asc) — the page-local equivalent of the broadcast-join + window.
+    */
+  def aliasBest: Map[String, String] =
+    Dict.aliases.groupBy(_.surface).map { case (s, as) =>
+      s -> as.minBy(a => (-a.prior, a.qid)).qid
+    }
+
+  /** Page-local form of the whole triple kernel: extraction → scan → top-1
+    * link → aboutness + adjacency → within-page distinct, inside ONE pure
+    * function. Valid because every pipeline triple is a function of its own
+    * page only (the dedup key includes url; the adjacency window partitions
+    * by url), so the distributed plan and this local fold are provably the
+    * same row set (asserted in StreamingSpec against `run`). This is the
+    * streaming-safe form — no window or stateful operator, so it runs
+    * unchanged under Structured Streaming (StreamIngest.streamTriples) —
+    * and the unit of Manifest partition recompute.
+    */
+  def pageTriples(
+      trie: graft.text.AhoCorasick,
+      best: Map[String, String],
+      p: Page,
+      maxGap: Int = 30
+  ): Seq[TripleRow] = {
+    val text = HtmlCodec.extract(p.html)
+    val ms = trie.scan(text, wordBounds = true).sortBy(m => (m.begin, m.pattern))
+    val linked = ms.flatMap(m => best.get(m.pattern).map(q => (m.begin, q)))
+    val out = scala.collection.mutable.LinkedHashSet[(String, String, String)]()
+    linked.foreach { case (_, q) => out += (("data:" + p.url, "schema:about", "wd:" + q)) }
+    linked.sliding(2).foreach {
+      case Seq((b1, q1), (b2, q2)) if b2 - b1 <= maxGap && q1 != q2 =>
+        out += (("wd:" + q1, "wdt:" + Dict.properties("followed_by"), "wd:" + q2))
+      case _ => ()
+    }
+    out.toSeq.map { case (s, pr, o) => TripleRow(s, pr, o, p.url, p.warc_ts) }
+  }
+
   /** Full pipeline → deduped canonical triples. */
   def run(spark: SparkSession, dir: String, numPartitions: Int = 32): DataFrame = {
     import graft.sources.Tables

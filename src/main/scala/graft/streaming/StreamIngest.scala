@@ -42,6 +42,29 @@ object StreamIngest {
         col("n_events")
       )
 
+  /** Streaming form of the KG-construction pipeline: a file-source stream of
+    * page rows → the page-local triple kernel (KgPipeline.pageTriples:
+    * extraction → scan → link → aboutness+adjacency → within-page distinct)
+    * → append sink. Every triple is a function of its own page, so the
+    * streaming plan needs NO window or stateful operator — batch and stream
+    * produce identical row sets (StreamingSpec asserts equality against
+    * KgPipeline.run), and a crashed drain resumes from checkpointed offsets
+    * with no duplicate or lost pages.
+    */
+  def streamTriples(spark: SparkSession, pagesDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.model.Page
+    import graft.pipeline.KgPipeline
+    val trie = spark.sparkContext.broadcast(graft.text.AhoCorasick.build(graft.model.Dict.surfaces))
+    val best = spark.sparkContext.broadcast(KgPipeline.aliasBest)
+    spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(pagesDir)
+      .as[Page]
+      .flatMap(p => KgPipeline.pageTriples(trie.value, best.value, p))
+      .toDF()
+  }
+
   /** Bounded drain: process everything currently available, then stop —
     * offsets live in `checkpointDir`, so re-invocation is incremental.
     */

@@ -59,6 +59,26 @@ class StreamingSpec extends SparkSpec {
     ))
   }
 
+  test("streaming KG pipeline: AvailableNow drain produces exactly the batch triple set") {
+    val tmp = Files.createTempDirectory("graft-stream-kg").toString
+    // stage the synthesized page table as the stream source
+    graft.sources.Tables.pages(spark, sfDir).toDF()
+      .write.mode("overwrite").parquet(s"$tmp/pages")
+    val triples = StreamIngest.streamTriples(spark, s"$tmp/pages")
+    StreamIngest.runAvailableNow(triples, s"$tmp/ckpt", s"$tmp/out")
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("subj"), r.getAs[String]("pred"), r.getAs[String]("obj"),
+        r.getAs[String]("url"), r.getAs[java.sql.Timestamp]("ts").getTime)
+    val streamed = spark.read.parquet(s"$tmp/out").collect().map(key).toSet
+    val batch = graft.pipeline.KgPipeline.run(spark, sfDir).collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+
+    // second drain with the same checkpoint: no new rows (exactly-once)
+    StreamIngest.runAvailableNow(triples, s"$tmp/ckpt", s"$tmp/out")
+    assert(spark.read.parquet(s"$tmp/out").count() == streamed.size)
+  }
+
   test("sessionizeSorted agrees with sessionize on real events") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val a = StreamIngest.sessionize(spark, ev, 30)
