@@ -54,6 +54,51 @@ object Linking {
     saltedFacts.join(saltedDim, Seq("surface", "salt")).drop("salt")
   }
 
+  /** §2.9 — typed `Aggregator[IN, BUF, OUT]` form of per-mention top-k: a
+    * bounded best-first buffer (≤ k elements) that combines MAP-SIDE, so the
+    * shuffle moves at most k candidates per mention instead of every
+    * candidate row. The window form (`topK`) sorts and ships all rows; at
+    * 100 TB with hot surfaces this Aggregator is the fixed-memory,
+    * skew-immune alternative — same output, proven equal in OperatorsSpec,
+    * partial/final ObjectHashAggregate asserted in PlanSpec.
+    */
+  final case class ScoredQid(qid: String, score: Double)
+
+  class TopKQids(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[ScoredQid, List[ScoredQid], Seq[String]] {
+    private def better(a: ScoredQid, b: ScoredQid): Boolean =
+      a.score > b.score || (a.score == b.score && a.qid < b.qid)
+    private def insert(buf: List[ScoredQid], v: ScoredQid): List[ScoredQid] = {
+      val (pre, post) = buf.span(b => better(b, v))
+      val merged = pre ::: v :: post
+      if (merged.length > k) merged.take(k) else merged
+    }
+    def zero: List[ScoredQid] = Nil
+    def reduce(buf: List[ScoredQid], v: ScoredQid): List[ScoredQid] = insert(buf, v)
+    def merge(a: List[ScoredQid], b: List[ScoredQid]): List[ScoredQid] = b.foldLeft(a)(insert)
+    def finish(buf: List[ScoredQid]): Seq[String] = buf.map(_.qid)
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[ScoredQid]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[ScoredQid]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Aggregator-based top-k per mention: (url, surface, begin, rank, qid) —
+    * identical rows to `topK`, different physical shape (partial agg).
+    */
+  def topKAgg(cands: DataFrame, k: Int): DataFrame = {
+    val fn = org.apache.spark.sql.functions.udaf(
+      new TopKQids(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ScoredQid]())
+    cands
+      .groupBy(col("url"), col("surface"), col("begin"))
+      .agg(fn(col("qid"), col("score")).as("qids"))
+      .select(col("url"), col("surface"), col("begin"),
+        posexplode(col("qids")).as(Seq("rank0", "qid")))
+      .withColumn("rank", col("rank0") + 1)
+      .drop("rank0")
+  }
+
   /** TF-IDF context scoring: document frequency per surface via groupBy-count
     * (plain Spark beats a custom Aggregator here — SURVEY.md §2.9), then
     * score = prior * log(N / df). Demonstrates the two-pass corpus statistic

@@ -94,6 +94,47 @@ class PlanSpec extends SparkSpec {
     assert(shufflesOutsideDim == 0, plan.toString)
   }
 
+  test("Aggregator top-k combines map-side (partial + final ObjectHashAggregate)") {
+    import spark.implicits._
+    val mentions = operators.Mentions.scan(spark, Tables.pages(spark, sfDir), model.Dict.surfaces)
+    val cands = operators.Linking.candidates(spark, mentions, model.Dict.aliases)
+    val df = operators.Linking.topKAgg(cands, 1)
+    val aggs = initialPlan(df).collect {
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }
+    // partial (map-side, pre-shuffle) + final — ≤ k rows per mention cross the wire
+    assert(aggs.size == 2, initialPlan(df).toString)
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, Final}
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode == Partial)))
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode == Final)))
+  }
+
+  test("bucketed tables sort-merge join with zero exchanges (co-located join)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+      Tables.read(spark, sfDir, "orders")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+      Tables.read(spark, sfDir, "customer")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      // both sides pre-bucketed on the join key ⇒ Catalyst plans the join
+      // with NO shuffle at all — the 100 TB recipe for repeated big-big
+      // joins on a stable key (bucketed/partitioned table layout)
+      assert(countShuffles(joined) == 0, initialPlan(joined).toString)
+      assert(joined.count() == Tables.read(spark, sfDir, "orders").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("embedding near-dup: the bucket self-join shuffles band keys + ids only, never vectors") {
     val df = operators.Ann.nearDupPairs(
       spark, Tables.read(spark, sfDir, "embeddings"), "vec_id", "embedding")

@@ -170,6 +170,17 @@ class OperatorsSpec extends SparkSpec {
     assert(brute.count(lsh.contains) >= 3)
   }
 
+  test("Aggregator top-k returns exactly the window top-k rows") {
+    val mentions = Mentions.scan(spark, Tables.pages(spark, sfDir), graft.model.Dict.surfaces)
+    val cands = Linking.candidates(spark, mentions, graft.model.Dict.aliases)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("url"), r.getAs[String]("surface"), r.getAs[Int]("begin"),
+        r.getAs[String]("qid"))
+    val viaWindow = Linking.topK(cands, 2).collect().map(key).toSet
+    val viaAgg = Linking.topKAgg(cands, 2).collect().map(key).toSet
+    assert(viaAgg == viaWindow && viaAgg.nonEmpty)
+  }
+
   test("nearDupPairs: planted near-dups found, no false pairs, empty input safe") {
     import spark.implicits._
     val rng = new scala.util.Random(11)

@@ -273,6 +273,29 @@ class DiffHtmlSpec extends AnyFunSuite {
     assert(viaTree == viaFragments)
   }
 
+  test("robustness: seeded random tag soup never throws and is deterministic") {
+    // at 100 TB the diff column is untrusted web output — the walk must be
+    // total (no exception can kill an executor task) and a pure function of
+    // its input (any partitioning/retry yields the same rows)
+    val rng = new scala.util.Random(1234)
+    val atoms = Array(
+      "<tr>", "</tr>", "<td class=\"diff-lineno\">", "<td class=\"diff-addedline\">",
+      "<td class=\"diff-deletedline\">", "</td>", "<del class=\"diffchange\">", "</del>",
+      "<ins class=\"diffchange\">", "</ins>", "<span>", "</span>", "<a href=\"/wiki/Property:P31\">",
+      "<a href=\"/wiki/Q5\">", "<a>", "</a>", "<b class=\"wb-time-rendered\">", "</b>",
+      "label / en", "Property / ", "rank", "qualifier", "P: x", "a:b:c", "\"q\"", "&amp;", "&",
+      "<table class=\"wb-details wb-time-details\">", "</table>", "<", ">", "<!-- c -->",
+      "<td>", "text ", "/ ", "<br>", "<img src=x/>"
+    )
+    (1 to 300).foreach { i =>
+      val doc = Seq.fill(5 + rng.nextInt(60))(atoms(rng.nextInt(atoms.length))).mkString
+      val a = DiffHtml.convertToRdf(doc, "Q9", TS, 5L, 4L)
+      val b = DiffHtml.convertToRdf(doc, "Q9", TS, 5L, 4L)
+      assert(a == b, s"non-deterministic on fuzz case $i")
+      a.foreach(r => assert(r.op == "DELETE" || r.op == "INSERT"))
+    }
+  }
+
   test("timeNodeBlock: handle_time_node block shape (reference:632-668)") {
     val b = DiffHtml.timeNodeBlock("v:abc", Some("2020-05-01T00:00:00Z"), Some(11), Some(0),
       Some("http://www.wikidata.org/entity/Q1985727"), "delete")
