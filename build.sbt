@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr through VERBATIM instead of
+// re-tagging every line with [info]/[error] via sbt's logger — consumers
+// of Bench/Verify parse stdout (round-1 driver record: "parsed": null
+// because the JSON line arrived as "[info] {...}" inside log noise).
+run / outputStrategy := Some(StdoutOutput)
+Test / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
