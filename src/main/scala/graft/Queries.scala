@@ -995,6 +995,60 @@ object Queries {
       |  ts FROM base""".stripMargin.replace("SID", sid)
   }
 
+  /** E2+J4+S3 composed: the time-resolved diff walk in `--specific` mode —
+    * the diff's time-rendered object resolves its exact datavalue from the
+    * per-change entity JSON column (getDatetimeObject), renders as
+    * `"…"^^xsd:dateTime`, mints the v:-node, and emits the TimeValue block;
+    * every hash in the output is an md5 chain the oracle reproduces in SQL.
+    */
+  def q46DiffTime(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val changes = t(s, dir, "events")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        concat(lit("Q"), col("user_id")).as("entity"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("event_id").cast("long").as("revid"),
+        (col("event_id") - 1).cast("long").as("old_revid"),
+        col("event_id").cast("long").as("eid")
+      )
+      .as[(String, String, Long, Long, Long)]
+      .mapPartitions(_.map { case (e, ts, r, o, ev) =>
+        val time = s"+2024-01-01T00:00:0${ev % 10}Z"
+        (e, ts, r, o,
+          graft.text.DiffHtmlGen.generateReferenceTime(ev),
+          graft.text.DiffHtmlGen.entityJsonWithRefTime(e, time))
+      })
+      .toDF("entity", "ts", "revid", "old_revid", "diff_html", "entity_json")
+    DiffTableRdf.convertResolved(s, changes, specific = true)
+  }
+
+  val q46Sql: String =
+    """WITH base AS (
+      |  SELECT 'Q' || user_id AS entity, strftime(ts, '%Y-%m-%d %H:%M:%S') AS tss,
+      |         md5('Q' || user_id || '|' || event_id || '|P39') AS h,
+      |         '+2024-01-01T00:00:0' || (event_id % 10) || 'Z' AS t,
+      |         event_id AS e
+      |  FROM events),
+      |b2 AS (SELECT *, md5(entity || '|' || e || '|' || h || '|P39') AS tn FROM base)
+      |SELECT 'v:' || tn AS entity, 'INSERT' AS op,
+      |  'INSERT DATA {' || chr(10) ||
+      |  '  v:' || tn || ' a wikibase:TimeValue .' || chr(10) ||
+      |  '  v:' || tn || ' wikibase:timeValue ''' || t || '''^^xsd:dateTime .' || chr(10) ||
+      |  '  v:' || tn || ' wikibase:timePrecision ''11''^^xsd:integer .' || chr(10) ||
+      |  '  v:' || tn || ' wikibase:timeTimezone ''0''^^xsd:integer .' || chr(10) ||
+      |  '  v:' || tn || ' wikibase:timeCalendarModel ''http://www.wikidata.org/entity/Q1985727'' .' || chr(10) ||
+      |  '};' || chr(10) AS rdf,
+      |  tss AS ts FROM b2
+      |UNION ALL
+      |SELECT entity, 'INSERT',
+      |  'INSERT DATA {' || chr(10) ||
+      |  '  ?statement prov:wasDerivedFrom ref:' || h || ' .' || chr(10) ||
+      |  '  ref:' || h || ' a wikibase:Reference .' || chr(10) ||
+      |  '  ref:' || h || ' pr:P813 "' || t || '"^^xsd:dateTime .' || chr(10) ||
+      |  '  ref:' || h || ' prv:P813 v:' || tn || ' .' || chr(10) || chr(10) || '};',
+      |  tss FROM b2""".stripMargin
+
   /** J4: v:-time-node resolution — the get_time_node STRSTARTS(prv:) lookup
     * as a broadcast join against a reference-node triple dim (TimeNodes),
     * with a noise pr: row per node that the prefix filter must reject.
@@ -1086,7 +1140,8 @@ object Queries {
     "q38_embed_neardup" -> ((q38EmbedNearDup _, q38Sql)),
     "q40_pipeline" -> ((q40Pipeline _, q40Sql)),
     "q44_diff_html" -> ((q44DiffHtml _, q44Sql)),
-    "q45_time_node" -> ((q45TimeNode _, q45Sql))
+    "q45_time_node" -> ((q45TimeNode _, q45Sql)),
+    "q46_diff_time" -> ((q46DiffTime _, q46Sql))
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -29,6 +29,28 @@ object DiffTableRdf {
       }
       .toDF("entity", "op", "rdf", "ts")
   }
+
+  /** Time-resolved form: `changes` additionally carries `entity_json` (the
+    * revisioned wbgetentities document joined in as a column — the batched
+    * stand-in for the reference's per-change HTTP fetch, get_updates.py:
+    * 668-675), so time-rendered objects render as exact
+    * `"…"^^xsd:dateTime` literals; `specific=true` also emits the minted
+    * v:-node statements and their TimeValue blocks (`--specific` mode).
+    * Still a narrow per-row flatMap — the JSON rides the same row, no
+    * extra shuffle.
+    */
+  def convertResolved(spark: SparkSession, changes: DataFrame, specific: Boolean): DataFrame = {
+    import spark.implicits._
+    changes
+      .select(col("entity"), col("ts"), col("revid").cast("long"),
+        col("old_revid").cast("long"), col("diff_html"), col("entity_json"))
+      .as[(String, String, Long, Long, String, String)]
+      .flatMap { case (entity, ts, revid, oldRevid, html, json) =>
+        DiffHtml.convertToRdf(html, entity, ts, revid, oldRevid, Option(json), specific)
+          .map(r => (r.subject, r.op, r.rdf, r.timestamp))
+      }
+      .toDF("entity", "op", "rdf", "ts")
+  }
 }
 
 /** J4 — time-value node resolution: the reference's get_time_node

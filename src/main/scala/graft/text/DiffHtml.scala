@@ -113,6 +113,8 @@ object DiffHtml {
   /** handle_nested (get_updates.py:575-629) over parsed tags, with the
     * deterministic mints documented in the object Scaladoc. Fragment-level
     * statement shapes match HrefExtract.handleNested (the C12 unit port).
+    * Plain form: no entity JSON ⇒ every time-rendered object takes the
+    * reference's own except-fallback (extract_href).
     */
   def handleNestedTags(
       tags: Seq[Elem],
@@ -120,31 +122,190 @@ object DiffHtml {
       entityId: String,
       revId: Long,
       mainPredicate: String
-  ): String = {
+  ): String =
+    handleNestedTagsResolved(tags, currentPredicate, entityId, revId, mainPredicate,
+      entityJson = None, specific = false, action = "add", timestamp = "")._1
+
+  /** Full handle_nested incl. the time-value path (get_updates.py:598-628):
+    * a `b.wb-time-rendered` object resolves its exact datavalue from the
+    * revisioned entity JSON via getDatetimeObject and renders as
+    * `"<time>"^^xsd:dateTime`; with `specific=true` the v:-node is minted
+    * (get_time_node substitution), the `ref:<h> prv:<p> v:<id> .` statement
+    * is added, and the TimeValue block (handle_time_node) is returned as a
+    * side output. Reference quirk preserved: `entity_json` is only bound in
+    * the prov/references branch (575-586), so the qualifier path's
+    * get_datetime_object call raises NameError and ALWAYS falls back to
+    * extract_href — time resolution happens only under
+    * prov:wasDerivedFrom.
+    */
+  def handleNestedTagsResolved(
+      tags: Seq[Elem],
+      currentPredicate: String,
+      entityId: String,
+      revId: Long,
+      mainPredicate: String,
+      entityJson: Option[String],
+      specific: Boolean,
+      action: String,
+      timestamp: String
+  ): (String, Seq[RdfOut]) = {
     if (currentPredicate != null && currentPredicate.startsWith("ps:"))
-      return s"  ?statement $currentPredicate ${extractHref(tags.head)} ."
-    val (prefix, refHash, header) = currentPredicate match {
+      return (s"  ?statement $currentPredicate ${extractHref(tags.head)} .", Nil)
+    val (prefix, refHash, snaksGroup, header) = currentPredicate match {
       case "prov:wasDerivedFrom" =>
         val h = mintRefHash(entityId, revId, Option(mainPredicate).map(_.drop(2)).getOrElse(""))
-        ("pr", Some(h),
+        ("pr", Some(h), Some("references"),
           s"  ?statement $currentPredicate ref:$h .\n" +
             s"  ref:$h a wikibase:Reference .\n")
-      case "qualifier" => ("pq", None, "")
-      case _           => ("ps", None, "")
+      case "qualifier" => ("pq", None, Some("qualifiers"), "")
+      case _           => ("ps", None, None, "")
     }
     val sb = new StringBuilder(header)
+    val side = scala.collection.mutable.ArrayBuffer[RdfOut]()
     var i = 0
     while (i + 1 < tags.length) {
       val pred = extractHref(tags(i))
-      val obj = extractHref(tags(i + 1)) // time-rendered <b> → reference's own JSON-less fallback branch
+      val objTag = tags(i + 1)
+      var timeNodeId: Option[String] = None
+      var timeObj: Option[TimeValue] = None
+      val obj =
+        if (objTag.name == "b" && objTag.hasClass("wb-time-rendered") && snaksGroup.isDefined &&
+            // entity_json exists only on the references path (reference:584)
+            snaksGroup.contains("references") && entityJson.isDefined) {
+          getDatetimeObject(entityJson.get, entityId, mainPredicate, pred, snaksGroup.get)
+            .flatMap(tv => tv.time.map(t => (t, tv))) match {
+            case Some((t, tv)) =>
+              timeObj = Some(tv)
+              if (specific)
+                timeNodeId = Some("v:" + mintTimeNode(entityId, revId, refHash, mainPredicate.drop(2)))
+              "\"" + t + "\"^^xsd:dateTime"
+            case None => extractHref(objTag) // except-fallback (reference:615-616)
+          }
+        } else extractHref(objTag)
       refHash match {
-        case Some(h)                          => sb.append(s"  ref:$h $prefix:$pred $obj .\n")
+        case Some(h)                                 => sb.append(s"  ref:$h $prefix:$pred $obj .\n")
         case None if currentPredicate == "qualifier" => sb.append(s"  ?statement $prefix:$pred $obj .\n")
-        case None                             => sb.append(s"  wd:$entityId $prefix:$pred $obj .\n")
+        case None                                    => sb.append(s"  wd:$entityId $prefix:$pred $obj .\n")
+      }
+      timeNodeId.foreach { tn =>
+        sb.append(s"  ref:${refHash.getOrElse("None")} prv:$pred $tn .\n") // Python renders absent hash as "None"
+        val tv = timeObj.get
+        side += RdfOut(tn, if (action == "delete") "DELETE" else "INSERT",
+          timeNodeBlock(tn, tv.time, tv.precision, tv.timezone, tv.calendarModel, action), timestamp)
       }
       i += 2
     }
-    sb.toString
+    (sb.toString, side.toSeq)
+  }
+
+  /** Deterministic v:-node mint matching the reference's get_time_node
+    * argument list (entity_id, revision_id, reference_id, property_id —
+    * get_updates.py:611-613).
+    */
+  def mintTimeNode(entityId: String, revId: Long, refHash: Option[String], mainPid: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$entityId|$revId|${refHash.orNull}|$mainPid".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** A resolved time datavalue (the `value` object of a time snak). */
+  final case class TimeValue(
+      time: Option[String],
+      precision: Option[Int],
+      timezone: Option[Int],
+      calendarModel: Option[String]
+  )
+
+  private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** get_datetime_object (get_updates.py:710-731): resolve a time-rendered
+    * object's exact datavalue from the revisioned wbgetentities JSON
+    * (claims[mainPid][-1][snaksGroup]). Quirks preserved:
+    *  - the claim list is indexed [-1] (last claim wins);
+    *  - references: first reference whose snaks contain the predicate;
+    *  - qualifiers: resolves ONLY when the claim has exactly one qualifier
+    *    key — the reference's multi-qualifier branch indexes a dict key
+    *    string and always raises, landing in the caller's except-fallback
+    *    (get_updates.py:727-731), so >1 qualifier keys ⇒ None here.
+    * Returns None (instead of raising) on any shape mismatch — the caller
+    * falls back to extract_href exactly like the reference's except branch.
+    */
+  def getDatetimeObject(
+      entityJson: String,
+      entityId: String,
+      mainPredicate: String,
+      predicate: String,
+      snaksGroup: String
+  ): Option[TimeValue] = {
+    try {
+      val root = jsonMapper.readTree(entityJson)
+      val claims = root.path("entities").path(entityId).path("claims")
+        .path(Option(mainPredicate).map(_.drop(2)).getOrElse(""))
+      if (!claims.isArray || claims.size == 0) return None
+      val last = claims.get(claims.size - 1)
+      def timeOf(n: com.fasterxml.jackson.databind.JsonNode): Option[TimeValue] = {
+        val v = n.path("datavalue").path("value")
+        if (v.isMissingNode) None
+        else Some(TimeValue(
+          Option(v.path("time")).filter(_.isTextual).map(_.asText),
+          Option(v.path("precision")).filter(_.isNumber).map(_.asInt),
+          Option(v.path("timezone")).filter(_.isNumber).map(_.asInt),
+          Option(v.path("calendarmodel")).filter(_.isTextual).map(_.asText)
+        ))
+      }
+      if (snaksGroup == "references") {
+        val refs = last.path("references")
+        if (!refs.isArray) return None
+        var i = 0
+        while (i < refs.size) {
+          val snaks = refs.get(i).path("snaks").path(predicate)
+          if (snaks.isArray && snaks.size > 0) return timeOf(snaks.get(0))
+          i += 1
+        }
+        None
+      } else {
+        val quals = last.path("qualifiers")
+        if (quals.size != 1) None // multi-qualifier quirk (see Scaladoc)
+        else {
+          val q = quals.path(predicate)
+          if (q.isArray && q.size > 0) timeOf(q.get(0)) else None
+        }
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** extract_span_plaintext (get_updates.py:919-941) — ported for surface
+    * completeness; the reference defines it but never calls it. Spans that
+    * contain an <a> followed by direct sibling text yield synthesized a-tags
+    * of that text (leading ": "-strip quirk preserved: startswith(":") drops
+    * TWO characters).
+    */
+  def extractSpanPlaintext(value: Elem): Vector[Elem] = {
+    // first DESCENDANT <a> (BeautifulSoup find) with its parent context, so
+    // we can read the a-tag's next sibling node
+    def firstA(e: Elem): Option[(Elem, Int)] = {
+      var i = 0
+      while (i < e.children.length) {
+        e.children(i) match {
+          case c: Elem if c.name == "a" => return Some((e, i))
+          case c: Elem =>
+            val r = firstA(c)
+            if (r.isDefined) return r
+          case _ => ()
+        }
+        i += 1
+      }
+      None
+    }
+    value.findAll(_.name == "span").flatMap { span =>
+      firstA(span).flatMap { case (parent, i) =>
+        if (i + 1 >= parent.children.length) None
+        else parent.children(i + 1) match {
+          case Html.TextNode(s) => Some(s.trim)
+          case _                => None // reference raises on a tag sibling; it is never called
+        }
+      }.filter(_ != ":").map(t => aTagOf(if (t.startsWith(":")) t.drop(2) else t))
+    }
   }
 
   /** handle_time_node (get_updates.py:632-668): the TimeValue block emitted
@@ -199,13 +360,22 @@ object DiffHtml {
     }
   }
 
-  /** The full convert_to_rdf walk (get_updates.py:191-358). */
+  /** The full convert_to_rdf walk (get_updates.py:191-358).
+    *
+    * `entityJson` (the revisioned wbgetentities document — the S3/S4 dim in
+    * this engine, a network fetch in the reference) enables exact time-value
+    * resolution on the prov/references path; `specific` additionally mints
+    * v:-time-nodes and emits their TimeValue blocks (the reference's
+    * `--specific` mode, get_updates.py:24, 611-613, 1042).
+    */
   def convertToRdf(
       diffHtml: String,
       entityId: String,
       timestamp: String,
       newRevId: Long,
-      oldRevId: Long
+      oldRevId: Long,
+      entityJson: Option[String] = None,
+      specific: Boolean = false
   ): Seq[RdfOut] = {
     val root = Html.parse(diffHtml)
     val out = mutable.ArrayBuffer[RdfOut]()
@@ -317,23 +487,30 @@ object DiffHtml {
 
       // ---- deleted values (246-294) / added values (297-345): same shape,
       //      del/ins tag, old/new revid, delete/insert buffer
-      def processSide(tdCls: String, changeTag: String, revId: Long, buf: mutable.ArrayBuffer[String]): Unit = {
+      def processSide(tdCls: String, changeTag: String, revId: Long, action: String,
+          buf: mutable.ArrayBuffer[String]): Unit = {
         if (tdWithClass(row, tdCls).isEmpty) return
         val aggregated =
           "\"" + row.findAll(e => e.name == "td" && e.hasClass(tdCls)).map(_.getTextRaw).mkString(" ") + "\""
         row.find(e => e.name == changeTag && e.hasClass("diffchange")).foreach { raw =>
           val value = removeWbDetails(raw)
           val nested = aggregateNested(value.findAll(_.name == "span"))
+          def nestedStmt(tags: Seq[Elem]): String = {
+            val (stmt, timeBlocks) = handleNestedTagsResolved(
+              tags, current, entityId, revId, main, entityJson, specific, action, timestamp)
+            out ++= timeBlocks // handle_time_node appends immediately (reference:655-658)
+            stmt
+          }
           if (nested.nonEmpty && nested.length % 2 == 0)
-            buf += handleNestedTags(nested, current, entityId, revId, main)
+            buf += nestedStmt(nested)
           else if (nested.length > 2 && nested.length % 2 != 0)
-            buf += handleNestedTags(nested.dropRight(1), current, entityId, revId, main)
+            buf += nestedStmt(nested.dropRight(1))
           else if (current != null)
             processFlat(buf, entityId, current, language, value, aggregated)
         }
       }
-      processSide("diff-deletedline", "del", oldRevId, deletes)
-      processSide("diff-addedline", "ins", newRevId, inserts)
+      processSide("diff-deletedline", "del", oldRevId, "delete", deletes)
+      processSide("diff-addedline", "ins", newRevId, "add", inserts)
     }
 
     flush()

@@ -52,4 +52,26 @@ object DiffHtmlGen {
     sb.append("</table>")
     sb.toString
   }
+
+  /** Reference-time section: a prov/references diff whose time-rendered
+    * object must resolve from the paired entity JSON — exercises
+    * getDatetimeObject and (with specific=true) the v:-node mint + TimeValue
+    * block emission. Shape per get_updates.py:575-628.
+    */
+  def generateReferenceTime(eventId: Long): String =
+    "<table class=\"diff\">" +
+      "<tr><td class=\"diff-lineno\">Property / <a href=\"/wiki/Property:P39\">position held</a> / reference</td></tr>" +
+      "<tr><td class=\"diff-addedline\"><div><ins class=\"diffchange\">" +
+      "<span><a href=\"/wiki/Property:P813\">retrieved</a> <b class=\"wb-time-rendered\">rendered " +
+      eventId + "</b></span></ins></div></td></tr>" +
+      "</table>"
+
+  /** Matching wbgetentities document: one P39 claim whose single reference
+    * carries a P813 time snak (the navigation target of
+    * get_datetime_object, get_updates.py:710-722).
+    */
+  def entityJsonWithRefTime(entityId: String, time: String): String =
+    s"""{"entities":{"$entityId":{"claims":{"P39":[{"references":[{"hash":"h0",""" +
+      s""""snaks":{"P813":[{"datavalue":{"value":{"time":"$time","precision":11,""" +
+      s""""timezone":0,"calendarmodel":"http://www.wikidata.org/entity/Q1985727"}}}]}}]}]}}}}"""
 }

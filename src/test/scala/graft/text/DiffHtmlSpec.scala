@@ -273,6 +273,78 @@ class DiffHtmlSpec extends AnyFunSuite {
     assert(viaTree == viaFragments)
   }
 
+  test("getDatetimeObject: references path, last-claim indexing, qualifier quirks") {
+    val json = DiffHtmlGen.entityJsonWithRefTime("Q42", "+2020-05-01T00:00:00Z")
+    val tv = DiffHtml.getDatetimeObject(json, "Q42", "p:P39", "P813", "references")
+    assert(tv.contains(DiffHtml.TimeValue(Some("+2020-05-01T00:00:00Z"), Some(11), Some(0),
+      Some("http://www.wikidata.org/entity/Q1985727"))))
+    // missing predicate / entity / malformed json → None (except-fallback)
+    assert(DiffHtml.getDatetimeObject(json, "Q42", "p:P39", "P999", "references").isEmpty)
+    assert(DiffHtml.getDatetimeObject(json, "Q1", "p:P39", "P813", "references").isEmpty)
+    assert(DiffHtml.getDatetimeObject("not json", "Q42", "p:P39", "P813", "references").isEmpty)
+    // qualifiers: single-key claim resolves; multi-key always falls back
+    // (the reference's >1 branch indexes a dict key string and raises —
+    // get_updates.py:727-731)
+    val q1 = """{"entities":{"Q42":{"claims":{"P39":[{"qualifiers":{"P585":[{"datavalue":{"value":{"time":"+1999-01-01T00:00:00Z"}}}]}}]}}}}"""
+    assert(DiffHtml.getDatetimeObject(q1, "Q42", "p:P39", "P585", "qualifiers")
+      .flatMap(_.time).contains("+1999-01-01T00:00:00Z"))
+    val q2 = """{"entities":{"Q42":{"claims":{"P39":[{"qualifiers":{"P585":[{"datavalue":{"value":{"time":"+1999-01-01T00:00:00Z"}}}],"P1545":[]}}]}}}}"""
+    assert(DiffHtml.getDatetimeObject(q2, "Q42", "p:P39", "P585", "qualifiers").isEmpty)
+  }
+
+  test("time-resolved walk: xsd:dateTime object, v:-node statement, TimeValue block (--specific)") {
+    val html = DiffHtmlGen.generateReferenceTime(7L)
+    val json = DiffHtmlGen.entityJsonWithRefTime("Q42", "+2020-05-01T00:00:00Z")
+    val out = DiffHtml.convertToRdf(html, "Q42", TS, 100L, 99L, Some(json), specific = true)
+    val h = DiffHtml.mintRefHash("Q42", 100L, "P39")
+    val tn = "v:" + DiffHtml.mintTimeNode("Q42", 100L, Some(h), "P39")
+    assert(out == Seq(
+      RdfOut(tn, "INSERT",
+        "INSERT DATA {\n" +
+          s"  $tn a wikibase:TimeValue .\n" +
+          s"  $tn wikibase:timeValue '+2020-05-01T00:00:00Z'^^xsd:dateTime .\n" +
+          s"  $tn wikibase:timePrecision '11'^^xsd:integer .\n" +
+          s"  $tn wikibase:timeTimezone '0'^^xsd:integer .\n" +
+          s"  $tn wikibase:timeCalendarModel 'http://www.wikidata.org/entity/Q1985727' .\n};\n",
+        TS),
+      RdfOut("Q42", "INSERT",
+        "INSERT DATA {\n" +
+          s"  ?statement prov:wasDerivedFrom ref:$h .\n" +
+          s"  ref:$h a wikibase:Reference .\n" +
+          s"  ref:$h pr:P813 \"+2020-05-01T00:00:00Z\"^^xsd:dateTime .\n" +
+          s"  ref:$h prv:P813 $tn .\n\n};",
+        TS)
+    ))
+    // without --specific: dateTime object only, no v:-node rows
+    val plain = DiffHtml.convertToRdf(html, "Q42", TS, 100L, 99L, Some(json), specific = false)
+    assert(plain.length == 1 && plain.head.rdf.contains("\"+2020-05-01T00:00:00Z\"^^xsd:dateTime"))
+    assert(!plain.head.rdf.contains("prv:"))
+    // without JSON at all: the reference's except-fallback (extract_href)
+    val fallback = DiffHtml.convertToRdf(html, "Q42", TS, 100L, 99L)
+    assert(fallback.length == 1 && fallback.head.rdf.contains("pr:P813 \"rendered 7\" ."))
+  }
+
+  test("qualifier time never resolves even with JSON (entity_json unbound quirk, reference:584)") {
+    val html =
+      """<table>
+        |<tr><td class="diff-lineno">Property / <a href="/wiki/Property:P39">position</a> / qualifier</td></tr>
+        |<tr><td class="diff-addedline"><div><ins class="diffchange"><span><a href="/wiki/Property:P585">point in time</a>: <b class="wb-time-rendered">1 May 2020</b></span></ins></div></td></tr>
+        |</table>""".stripMargin
+    val q1 = """{"entities":{"Q42":{"claims":{"P39":[{"qualifiers":{"P585":[{"datavalue":{"value":{"time":"+2020-05-01T00:00:00Z"}}}]}}]}}}}"""
+    val out = DiffHtml.convertToRdf(html, "Q42", TS, 100L, 99L, Some(q1), specific = true)
+    assert(out.length == 1 && out.head.rdf.contains("pq:P585 \"1 May 2020\" ."))
+  }
+
+  test("extractSpanPlaintext: a-tag + direct sibling text (dead-code port, reference:919-941)") {
+    val v = Html.parse(
+      """<div><span><a href="/wiki/Q1">one</a>: two</span><span><a>x</a></span>""" +
+        """<span><b>no a</b></span><span><a>y</a> plain</span></div>""")
+      .children.head.asInstanceOf[Html.Elem]
+    val tags = DiffHtml.extractSpanPlaintext(v)
+    // ": two" → startswith(":") drops TWO chars → "two"; bare-colon text skipped
+    assert(tags.map(_.getTextRaw) == Vector("two", "plain"))
+  }
+
   test("robustness: seeded random tag soup never throws and is deterministic") {
     // at 100 TB the diff column is untrusted web output — the walk must be
     // total (no exception can kill an executor task) and a pure function of
