@@ -1144,8 +1144,17 @@ object Queries {
     "q46_diff_time" -> ((q46DiffTime _, q46Sql))
   )
 
+  /** IVF ANN (rows-only; recall vs brute asserted in tests). */
+  def q47AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
+    Ann.ivfTopK(s, emb, "vec_id", "embedding", query, k = 20, nCells = 16, nProbe = 4)
+  }
+
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_simhash_pairs" -> (q27SimHashPairs _),
-    "q37_ann_lsh" -> (q37AnnLsh _)
+    "q37_ann_lsh" -> (q37AnnLsh _),
+    "q47_ann_ivf" -> (q47AnnIvf _)
   )
 }

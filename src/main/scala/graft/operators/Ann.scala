@@ -151,6 +151,102 @@ object Ann {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path alongside
+    * LSH: k-means centroids trained on a bounded driver-side sample
+    * (deterministic seeded Lloyd iterations; at 100 TB this step is MLlib
+    * KMeans over a sample table — the 5-line swap is the trainer only),
+    * centroids broadcast, every vector assigned to its nearest centroid (a
+    * narrow map), and a query scans ONLY the `nProbe` nearest cells —
+    * corpus-fraction scanned ≈ nProbe/k instead of 1.
+    */
+  object Ivf {
+    final case class Model(centroids: Array[Array[Float]]) {
+      def assign(v: Array[Float]): Int = {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          val ct = centroids(c)
+          while (i < v.length && i < ct.length) { val t = v(i) - ct(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      def nearestCells(q: Array[Float], nProbe: Int): Array[Int] =
+        centroids.indices.sortBy { c =>
+          var d = 0.0; var i = 0
+          val ct = centroids(c)
+          while (i < q.length && i < ct.length) { val t = q(i) - ct(i); d += t * t; i += 1 }
+          d
+        }.take(nProbe).toArray
+    }
+
+    /** Deterministic Lloyd training on a bounded sample: init = the k
+      * lowest-id vectors, fixed iteration count, stable tie-breaks.
+      */
+    def train(sample: Seq[Array[Float]], k: Int, iters: Int = 5): Model = {
+      require(sample.nonEmpty, "empty training sample")
+      var m = Model(sample.take(k).toArray)
+      (1 to iters).foreach { _ =>
+        val dim = sample.head.length
+        val sums = Array.fill(m.centroids.length)(new Array[Double](dim))
+        val counts = new Array[Long](m.centroids.length)
+        sample.foreach { v =>
+          val c = m.assign(v)
+          counts(c) += 1
+          var i = 0
+          while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        }
+        m = Model(m.centroids.indices.map { c =>
+          if (counts(c) == 0) m.centroids(c) // keep empty cells stable
+          else sums(c).map(x => (x / counts(c)).toFloat)
+        }.toArray)
+      }
+      m
+    }
+  }
+
+  /** IVF top-k: train on the first `sampleN` vectors by id (bounded driver
+    * pull), assign distributed, scan only the probed cells.
+    */
+  def ivfTopK(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      sampleN: Int = 10000
+  ): DataFrame = {
+    import spark.implicits._
+    val sample = embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .orderBy(col(idCol).asc) // deterministic sample
+      .limit(sampleN)
+      .collect()
+      .map(_._2)
+    val model = spark.sparkContext.broadcast(Ivf.train(sample.toSeq, nCells))
+    val probe = model.value.nearestCells(query, nProbe).toSet
+    val probeB = spark.sparkContext.broadcast(probe)
+    val q = spark.sparkContext.broadcast(query)
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val m = model.value; val pr = probeB.value; val qv = q.value
+        it.flatMap { case (id, v) =>
+          if (pr.contains(m.assign(v))) Some((id, Sketches.cosine(v, qv))) else None
+        }
+      }
+      .toDF("id", "cosine")
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Window top-k per probe group — the generic "k nearest per query" shape
     * for batched multi-query search (Window.partitionBy(query).orderBy desc).
     */

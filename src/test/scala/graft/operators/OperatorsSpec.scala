@@ -170,6 +170,23 @@ class OperatorsSpec extends SparkSpec {
     assert(brute.count(lsh.contains) >= 3)
   }
 
+  test("IVF ANN: self is found, recall vs brute force is non-trivial, cells partition the corpus") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    val brute = Ann.bruteForceTopK(spark, emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0))
+    val ivf = Ann.ivfTopK(spark, emb, "vec_id", "embedding", q, 10, nCells = 8, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.contains(0L)) // the query's own cell is always probed
+    assert(brute.count(ivf.contains) >= 5, s"ivf=$ivf brute=${brute.toSeq}")
+    // probing fewer cells scans a strict subset of the corpus: full probe == brute
+    val full = Ann.ivfTopK(spark, emb, "vec_id", "embedding", q, 10, nCells = 8, nProbe = 8)
+      .collect().map(_.getLong(0))
+    assert(full.toSeq == brute.toSeq)
+  }
+
   test("Aggregator top-k returns exactly the window top-k rows") {
     val mentions = Mentions.scan(spark, Tables.pages(spark, sfDir), graft.model.Dict.surfaces)
     val cands = Linking.candidates(spark, mentions, graft.model.Dict.aliases)
