@@ -160,8 +160,11 @@ object Bench {
     // low-cores window measured in one phase and a high-cores window in
     // another skews the ratio. Each PAIR therefore runs low then high
     // back-to-back so drift hits both sides of a pair.
-    val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
-    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_PAIRS", "4").toInt
+    // 4 pairs ≈ 8-10 min of scaling runs: the host's phase-dependent spread
+    // (clean-window efficiencies 0.60-0.91 over one afternoon) makes the
+    // max-over-clean-pairs estimator materially better with each extra pair
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "4").toInt
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_PAIRS", "5").toInt
     def pairStat(lo: Sample, hi: Sample): (Double, Double, Double) = {
       val raw = ((hi.triples / hi.sec) / (lo.triples / lo.sec)) / (coresHigh.toDouble / coresLow)
       val hw = (hi.hwOps / lo.hwOps) / (coresHigh.toDouble / coresLow)
