@@ -1141,8 +1141,36 @@ object Queries {
     "q40_pipeline" -> ((q40Pipeline _, q40Sql)),
     "q44_diff_html" -> ((q44DiffHtml _, q44Sql)),
     "q45_time_node" -> ((q45TimeNode _, q45Sql)),
-    "q46_diff_time" -> ((q46DiffTime _, q46Sql))
+    "q46_diff_time" -> ((q46DiffTime _, q46Sql)),
+    "q48_ann_native" -> ((q48AnnNative _, q48Sql))
   )
+
+  /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):
+    * same semantics as q29's typed form but with no object ser/deser fence —
+    * scan → score → TakeOrderedAndProject is one fused codegen stage. The
+    * oracle is the same SQL as q29, so the custom expression is
+    * hash-proven equivalent on real data (the q11 pattern).
+    */
+  def q48AnnNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "scaled_dot_fast",
+      exprs => graft.plans.ScaledDotExpr(exprs.head, exprs(1)),
+      "built-in")
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    // float → shortest decimal → parse-as-double → cast float round-trips
+    val qArr = s"cast(array(${query.mkString(",")}) as array<float>)"
+    emb.select(col("vec_id"),
+        expr(s"scaled_dot_fast(embedding, $qArr)").as("scaled_dot"))
+      .orderBy(col("scaled_dot").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  // def, not val: this is declared after the sqlChecked map in source order,
+  // and a forward val reference would be captured as null at object init
+  def q48Sql: String = q29Sql
 
   /** IVF ANN (rows-only; recall vs brute asserted in tests). */
   def q47AnnIvf(s: SparkSession, dir: String): DataFrame = {

@@ -94,6 +94,25 @@ class PlanSpec extends SparkSpec {
     assert(shufflesOutsideDim == 0, plan.toString)
   }
 
+  test("native scaled-dot keeps the ANN scan inside whole-stage codegen (no object fence)") {
+    def hasObjectFence(df: DataFrame): Boolean =
+      initialPlan(df).collect {
+        case d: org.apache.spark.sql.execution.DeserializeToObjectExec => d
+      }.nonEmpty
+    // typed form: ser/deser boundary; native expression: none
+    assert(hasObjectFence(Queries.q29AnnBrute(spark, sfDir)))
+    val native = Queries.q48AnnNative(spark, sfDir)
+    assert(!hasObjectFence(native), initialPlan(native).toString)
+    val wsc = initialPlan(native).collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty) // scan → score projection fused
+    // and the two forms agree row-for-row (same oracle gates both)
+    val a = Queries.q29AnnBrute(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = native.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+
   test("Aggregator top-k combines map-side (partial + final ObjectHashAggregate)") {
     import spark.implicits._
     val mentions = operators.Mentions.scan(spark, Tables.pages(spark, sfDir), model.Dict.surfaces)
