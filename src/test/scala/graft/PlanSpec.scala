@@ -154,6 +154,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew join splits the hot key at runtime (the salting backstop)") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one pathological key carrying ~99% of the fact side
+      val facts = spark.range(200000)
+        .select(when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-"), col("id")).as("v"))
+      val dim = spark.range(1000).select(col("id").as("k"), lit("d").as("d"))
+      val joined = facts.join(dim, Seq("k"))
+      // execute THIS dataset's own query execution — count()/foreach() plan
+      // separate QEs, leaving this one un-executed and un-reoptimized
+      joined.collect()
+      val finalPlan = (joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }).toString
+      // query stages are leaf nodes to collect(), so assert on the rendered
+      // re-optimized plan: the join is marked skew and the hot side's
+      // shuffle read is split
+      assert(finalPlan.contains("skew=true"), finalPlan)
+      assert(finalPlan.contains("AQEShuffleRead coalesced and skewed"), finalPlan)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("embedding near-dup: the bucket self-join shuffles band keys + ids only, never vectors") {
     val df = operators.Ann.nearDupPairs(
       spark, Tables.read(spark, sfDir, "embeddings"), "vec_id", "embedding")
