@@ -46,9 +46,14 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Real image decode: (width, height, sum of R+G+B over all pixels). */
+  /** Real image decode: (width, height, sum of R+G+B over all pixels).
+    * Undecodable payloads (ImageIO.read returns null) degrade to the
+    * sentinel (0, 0, -1) instead of NPE-killing the task — binary columns
+    * are untrusted input, same stance as the diff-walk's fuzz robustness.
+    */
   def decodeImage(bytes: Array[Byte]): (Int, Int, Long) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return (0, 0, -1L)
     val (w, h) = (img.getWidth, img.getHeight)
     var sum = 0L
     var y = 0

@@ -102,10 +102,18 @@ object Manifest {
     * with partition-overwrite, append manifest rows with metrics. Returns
     * the number of partitions actually computed.
     */
-  /** Monotonic per-append sequence for latest-row-wins reads. */
+  /** Monotonic per-append sequence for latest-row-wins reads. Layout:
+    * millis << 20 | per-JVM random (10 bits) | per-JVM counter (10 bits) —
+    * two JVMs appending to the same manifest in the same millisecond collide
+    * only if their random nonces also match (1/1024 per ms, vs certain
+    * before), so row_number's run_seq tiebreak can't silently pick a
+    * superseded 'ok' row over a newer 'orphaned' one. millis < 2^41 keeps
+    * the shifted value positive through 2109.
+    */
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val jvmNonce: Long = new java.security.SecureRandom().nextInt(1024).toLong
   private def nextRunSeq(): Long =
-    System.currentTimeMillis() * 1000 + (seqCounter.incrementAndGet() % 1000)
+    (System.currentTimeMillis() << 20) | (jvmNonce << 10) | (seqCounter.incrementAndGet() & 0x3ffL)
 
   private def deletePartitionDir(spark: SparkSession, outPath: String, key: Long): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$outPath/part_key=$key")

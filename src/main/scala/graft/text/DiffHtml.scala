@@ -106,6 +106,14 @@ object DiffHtml {
 
   /** remove_wb_details (get_updates.py:421-424): drop the first nested
     * `wb-details wb-time-details` table.
+    *
+    * Deliberate deviation: BS4's class_="wb-details wb-time-details" matches
+    * the exact class-attribute string, while this matches any table carrying
+    * BOTH classes in any order/superset. MediaWiki emits the attribute
+    * verbatim as "wb-details wb-time-details", so the two agree on real
+    * diffs; the tolerant form also survives class reordering/extension by
+    * future MediaWiki skins, which we prefer over byte-parity on synthetic
+    * reorderings.
     */
   def removeWbDetails(value: Elem): Elem =
     value.removeFirst(e => e.name == "table" && e.hasClass("wb-details") && e.hasClass("wb-time-details"))

@@ -176,14 +176,45 @@ object Html {
       m.group(1) -> unescape(v)
     }.toVector
 
-  private def unescape(s: String): String =
-    if (s.indexOf('&') < 0) s
-    else
-      s.replace("&lt;", "<")
-        .replace("&gt;", ">")
-        .replace("&quot;", "\"")
-        .replace("&#39;", "'")
-        .replace("&apos;", "'")
-        .replace("&nbsp;", " ")
-        .replace("&amp;", "&")
+  private val NamedEntities: Map[String, String] = Map(
+    "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "ndash" -> "–", "mdash" -> "—",
+    "hellip" -> "…", "amp" -> "&")
+
+  /** Entity decoding (BS4 parity): the named subset above plus decimal
+    * (&#160;) and hex (&#x2019;) numeric character references — real
+    * MediaWiki diff HTML uses numeric refs freely, and leaving them literal
+    * would leak `&#...;` into emitted RDF literals. A malformed reference
+    * (no ';' within 10 chars, or an unknown name / invalid code point)
+    * passes through as literal text, like BS4's lenient parser.
+    */
+  private def unescape(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '&') { out.append(c); i += 1 }
+      else {
+        val semi = s.indexOf(';', i + 1)
+        val decoded: Option[String] =
+          if (semi < 0 || semi - i > 10) None
+          else {
+            val body = s.substring(i + 1, semi)
+            if (body.startsWith("#x") || body.startsWith("#X"))
+              try Some(new String(Character.toChars(Integer.parseInt(body.drop(2), 16))))
+              catch { case _: Exception => None }
+            else if (body.startsWith("#"))
+              try Some(new String(Character.toChars(Integer.parseInt(body.drop(1)))))
+              catch { case _: Exception => None }
+            else NamedEntities.get(body)
+          }
+        decoded match {
+          case Some(d) => out.append(d); i = semi + 1
+          case None    => out.append(c); i += 1
+        }
+      }
+    }
+    out.toString
+  }
 }

@@ -220,6 +220,9 @@ class OperatorsSpec extends SparkSpec {
     val bytes = Multimodal.encodePng(20, 10, 37)
     assert(Multimodal.isPng(bytes))
     assert(Multimodal.decodeImage(bytes) == ((20, 10, 20L * 10 * 37 * 3)))
+    // undecodable payload degrades to the (0, 0, -1) sentinel, not an NPE
+    assert(Multimodal.decodeImage("not a png".getBytes) == ((0, 0, -1L)))
+    assert(Multimodal.decodeImage(Array.emptyByteArray) == ((0, 0, -1L)))
 
     val media = Tables.media(spark, sfDir).limit(10)
     val meta = Multimodal.imageMeta(spark, media).collect()

@@ -41,6 +41,15 @@ class DiffHtmlSpec extends AnyFunSuite {
     assert(div.findAll(_.name == "br").length == 1)
   }
 
+  test("Html parser: numeric character references and dash-class named entities") {
+    val root = Html.parse(
+      """<div title="x&#160;y">A&#8217;s caf&#xE9; 1&ndash;2 em&mdash;dash &hellip; &bogus; &#zz; & plain</div>""")
+    val div = root.find(_.name == "div").get
+    assert(div.attr("title").contains("x\u00a0y"))
+    // decimal + hex refs decode; ndash/mdash/hellip decode; malformed pass through literally
+    assert(div.getTextRaw == "A’s café 1–2 em—dash … &bogus; &#zz; & plain")
+  }
+
   // ---------------------------------------------------------- extract_href
 
   test("extractHref: property href, Q href, title, P: text, b-rendered, plain") {
