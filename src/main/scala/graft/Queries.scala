@@ -850,12 +850,49 @@ object Queries {
       |CAST((16 + doc_id % 48) * (16 + doc_id % 24) * (doc_id % 256) * 3 AS BIGINT) AS px_sum
       |FROM documents""".stripMargin
 
-  /** LSH-bucketed ANN (rows-only; recall vs q29 asserted in tests). */
+  /** LSH-bucketed ANN, Gaussian-plane production form (spec-gated: recall
+    * vs q29 brute force asserted in AnnSpec; not SQL-expressible because the
+    * planes come from Random.nextGaussian).
+    */
   def q37AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
     Ann.lshTopK(s, emb, "vec_id", "embedding", query, k = 20, nPlanes = 5)
+  }
+
+  /** LSH ANN, ORACLE-GATED: closed-form fnv1a integer planes make the
+    * signature, the Hamming ≤ 1 multiprobe set, and hence the exact scan
+    * membership SQL-expressible; scoring is the exact scaled-integer dot.
+    * This hash-gates the entire probe machinery — same plan shape as the
+    * Gaussian variant, only the plane constants differ.
+    */
+  def q37AnnLshGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
+    Ann.lshTopKGate(s, emb, "vec_id", "embedding", query, k = 20, nPlanes = 5)
+  }
+
+  val q37Sql: String = {
+    val dim = 64; val nPlanes = 5
+    val planes = Ann.intPlanes(dim, nPlanes)
+    def milli(ref: String, i: Int) =
+      s"CAST(floor(CAST($ref.embedding[$i] AS DOUBLE)*1000) AS BIGINT)"
+    val bits = (0 until nPlanes).map { p =>
+      val terms = (1 to dim).map(i => s"${milli("e", i)}*(${planes(p)(i - 1)})").mkString(" + ")
+      s"CASE WHEN ($terms) >= 0 THEN 1 ELSE 0 END AS b$p"
+    }.mkString(",\n")
+    val ham = (0 until nPlanes).map(p => s"CASE WHEN s.b$p = q.b$p THEN 0 ELSE 1 END").mkString(" + ")
+    val dot = (1 to dim).map(i => s"${milli("s", i)}*${milli("q", i)}").mkString(" + ")
+    s"""WITH s AS (SELECT e.vec_id, e.embedding,
+       |$bits
+       |FROM embeddings e),
+       |q AS (SELECT * FROM s WHERE vec_id = 0)
+       |SELECT s.vec_id, ($dot) AS scaled_dot
+       |FROM s CROSS JOIN q
+       |WHERE ($ham) <= 1
+       |ORDER BY scaled_dot DESC, s.vec_id LIMIT 20""".stripMargin
   }
 
   /** Embedding near-dup over corpus ∪ deterministically perturbed copies:
@@ -1095,6 +1132,113 @@ object Queries {
       |LEFT JOIN prv p ON p.ref_id = md5('Q' || e.user_id || '|' || e.event_id || '|P585')
       |WHERE e.event_type = 'click'""".stripMargin
 
+  /** Near-dup cluster resolution (connected components + survivor): planted
+    * duplicate CHAINS over doc ids — doc d duplicates doc d−1 except at
+    * 8-boundaries — so components are the runs [8k, 8k+7], cluster id = 8k,
+    * survivor = the run head: all closed-form in doc_id for the oracle. The
+    * length-8 chains force ≥3 alternating star rounds, exercising the
+    * iteration (a star input would converge in one).
+    */
+  def q49Components(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val edges = docs
+      .filter(col("doc_id") % 8 =!= 0)
+      .select((col("doc_id") - 1).cast("long").as("id1"), col("doc_id").cast("long").as("id2"))
+    Dedup.clusters(docs, "doc_id", edges)
+  }
+
+  val q49Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |CAST(doc_id - doc_id % 8 AS BIGINT) AS cluster_id,
+      |doc_id % 8 = 0 AS is_survivor
+      |FROM documents""".stripMargin
+
+  /** J-graft gate: the salted replicate-dim join must produce exactly the
+    * plain broadcast join's rows — same top-1 output as q19, so the oracle
+    * is q19's SQL with the salt folded out by construction.
+    */
+  def q50SaltedLink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = Tables.pages(s, dir)
+    val present = Mentions.scan(s, pages, Dict.surfaces, wordBounds = false)
+      .select(col("url"), col("surface")).distinct()
+    val cands = Linking.saltedJoin(present, Dict.aliases.toDF(), salt = 8)
+    val w = Window.partitionBy(col("url"), col("surface"))
+      .orderBy(col("prior").desc, col("qid").asc)
+    cands.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("url"), col("surface"), col("qid"))
+  }
+
+  def q50Sql: String = q19Sql
+
+  /** Batched multi-query ANN: M query vectors scored against the corpus in
+    * ONE pass — broadcast queries, narrow flatMap to (query_id, vec_id,
+    * scaled_dot), window top-k per query. Exactly one shuffle total (the
+    * window partitionBy), not M scans — PlanSpec-asserted.
+    */
+  def q51AnnMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1) // bounded: 8 query vectors
+    val qB = s.sparkContext.broadcast(queries)
+    val scored = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        qB.value.map { case (qid, qv) => (qid, id, Sketches.scaledDot(v, qv)) }
+      }
+      .toDF("query_id", "vec_id", "scaled_dot")
+    Ann.topKPerGroup(scored, "query_id", "scaled_dot", "vec_id", 20)
+      .select(col("query_id"), col("vec_id"), col("scaled_dot"), col("rank").cast("bigint").as("rank"))
+  }
+
+  val q51Sql: String = {
+    val dot = (1 to 64).map(i =>
+      s"CAST(floor(CAST(e.embedding[$i] AS DOUBLE)*1000) AS BIGINT)*" +
+        s"CAST(floor(CAST(q.embedding[$i] AS DOUBLE)*1000) AS BIGINT)").mkString(" + ")
+    s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.query_id, CAST(e.vec_id AS BIGINT) AS vec_id, ($dot) AS scaled_dot
+       |  FROM embeddings e CROSS JOIN q)
+       |SELECT query_id, vec_id, scaled_dot, rank FROM (
+       |  SELECT query_id, vec_id, scaled_dot,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY scaled_dot DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 20""".stripMargin
+  }
+
+  /** TF-IDF context scoring gate: the two-pass corpus-statistic shape (df
+    * aggregation + broadcast join back), scores floored to micro-units so
+    * the hash compare survives float formatting.
+    */
+  def q52Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = Tables.pages(s, dir)
+    val present = Mentions.scan(s, pages, Dict.surfaces, wordBounds = false)
+      .select(col("url"), col("surface")).distinct()
+    val cands = present.join(broadcast(Dict.aliases.toDF()), Seq("surface"))
+      .select(col("url"), col("surface"), col("qid"), col("prior").as("score"))
+    val totalDocs = t(s, dir, "documents").count()
+    Linking.tfidfScored(cands, totalDocs)
+      .select(col("url"), col("surface"), col("qid"),
+        floor(col("score") * 1000000).cast("bigint").as("tfidf_micro"))
+  }
+
+  def q52Sql: String =
+    s"""WITH $docsCte, $aliasesCte,
+       |present AS (
+       |  SELECT DISTINCT d.url, a.surface FROM docs d JOIN aliases a
+       |  ON length(d.text) - length(replace(d.text, a.surface, '')) > 0),
+       |cands AS (SELECT p.url, p.surface, a.qid, a.prior
+       |          FROM present p JOIN aliases a ON p.surface = a.surface),
+       |df AS (SELECT surface, count(DISTINCT url) AS doc_freq FROM cands GROUP BY surface),
+       |n AS (SELECT count(*) AS total FROM documents)
+       |SELECT c.url, c.surface, c.qid,
+       |  CAST(floor(c.prior * ln((CAST(n.total AS DOUBLE) + 1) / (df.doc_freq + 1)) * 1000000) AS BIGINT)
+       |    AS tfidf_micro
+       |FROM cands c JOIN df ON c.surface = df.surface CROSS JOIN n""".stripMargin
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -1142,7 +1286,13 @@ object Queries {
     "q44_diff_html" -> ((q44DiffHtml _, q44Sql)),
     "q45_time_node" -> ((q45TimeNode _, q45Sql)),
     "q46_diff_time" -> ((q46DiffTime _, q46Sql)),
-    "q48_ann_native" -> ((q48AnnNative _, q48Sql))
+    "q48_ann_native" -> ((q48AnnNative _, q48Sql)),
+    "q37_ann_lsh" -> ((q37AnnLshGate _, q37Sql)),
+    "q47_ann_ivf" -> ((q47AnnIvfGate _, q47Sql)),
+    "q49_components" -> ((q49Components _, q49Sql)),
+    "q50_salted_link" -> ((q50SaltedLink _, q50Sql)),
+    "q51_ann_multi" -> ((q51AnnMulti _, q51Sql)),
+    "q52_tfidf" -> ((q52Tfidf _, q52Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):
@@ -1172,7 +1322,10 @@ object Queries {
   // and a forward val reference would be captured as null at object init
   def q48Sql: String = q29Sql
 
-  /** IVF ANN (rows-only; recall vs brute asserted in tests). */
+  /** IVF ANN, Lloyd-trained production form (spec-gated: recall vs brute +
+    * full-probe == brute asserted in AnnSpec; the trainer's fixpoint is not
+    * SQL-expressible).
+    */
   def q47AnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
@@ -1180,9 +1333,56 @@ object Queries {
     Ann.ivfTopK(s, emb, "vec_id", "embedding", query, k = 20, nCells = 16, nProbe = 4)
   }
 
+  /** IVF ANN, ORACLE-GATED: closed-form fnv1a integer centroids make cell
+    * assignment (exact-integer argmin with index tiebreak), the nProbe probe
+    * set, and the scan membership SQL-expressible — hash-gating the whole
+    * assign→probe→scan machinery. The Lloyd trainer stays spec-gated.
+    */
+  def q47AnnIvfGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
+    Ann.ivfTopKGate(s, emb, "vec_id", "embedding", query, k = 20, nCells = 16, nProbe = 4)
+  }
+
+  // def, not val: declared after the sqlChecked map in source order — a
+  // forward val reference would be captured as null at object init
+  def q47Sql: String = {
+    val dim = 64; val nCells = 16; val nProbe = 4
+    val cents = Ann.intCentroids(dim, nCells)
+    val cellRows = cents.zipWithIndex.map { case (xs, c) =>
+      val sx2 = xs.map(x => x * x).sum
+      s"($c, $sx2, ${xs.mkString(", ")})"
+    }.mkString(",\n")
+    val xcols = (1 to dim).map(i => s"x$i").mkString(", ")
+    def milli(ref: String, i: Int) =
+      s"CAST(floor(CAST($ref.embedding[$i] AS DOUBLE)*1000) AS BIGINT)"
+    // argmin ‖a−x‖² ≡ argmin (Σx² − 2·a·x): the Σa² term is constant per
+    // vector, preserving order AND ties — one 64-term dot per (vector, cell)
+    val cellDot = (1 to dim).map(i => s"${milli("e", i)}*x$i").mkString(" + ")
+    val qdot = (1 to dim).map(i => s"${milli("e", i)}*${milli("q", i)}").mkString(" + ")
+    s"""WITH cells(c, sx2, $xcols) AS (VALUES
+       |$cellRows),
+       |scored AS (
+       |  SELECT e.vec_id, cells.c, cells.sx2 - 2*($cellDot) AS score
+       |  FROM embeddings e CROSS JOIN cells),
+       |assigned AS (
+       |  SELECT vec_id, c FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |qcells AS (
+       |  SELECT c FROM (
+       |    SELECT c, row_number() OVER (ORDER BY score, c) AS rn
+       |    FROM scored WHERE vec_id = 0) WHERE rn <= $nProbe)
+       |SELECT e.vec_id, ($qdot) AS scaled_dot
+       |FROM embeddings e
+       |JOIN assigned a ON a.vec_id = e.vec_id
+       |JOIN qcells ON a.c = qcells.c
+       |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |ORDER BY scaled_dot DESC, e.vec_id LIMIT 20""".stripMargin
+  }
+
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q27_simhash_pairs" -> (q27SimHashPairs _),
-    "q37_ann_lsh" -> (q37AnnLsh _),
-    "q47_ann_ivf" -> (q47AnnIvf _)
+    "q27_simhash_pairs" -> (q27SimHashPairs _)
   )
 }

@@ -151,6 +151,148 @@ object Ann {
       .filter(col("cosine") >= minCosine)
   }
 
+  // ------------------------------------------------- oracle-gated variants
+  //
+  // The Gaussian-plane LSH and Lloyd-trained IVF above are the production
+  // forms (spec-gated: recall vs brute force, full-probe == brute). The
+  // variants below swap ONLY the randomness for closed-form integers from
+  // fnv1a and run every comparison in exact scaled-integer arithmetic —
+  // bucket membership, cell assignment, probe sets, and scores all become
+  // SQL-expressible, so a DuckDB oracle reproduces the EXACT scan set and
+  // hash-gates the whole probe machinery (q37/q47). Same plan shape, same
+  // 100×-scale properties; only the constants differ.
+
+  /** Closed-form integer hyperplanes: plane p component i =
+    * fnv1a("plane:p:i") mod 2001 − 1000 ∈ [−1000, 1000].
+    */
+  def intPlanes(dim: Int, nPlanes: Int): Array[Array[Long]] =
+    Array.tabulate(nPlanes)(p =>
+      Array.tabulate(dim)(i => math.floorMod(Sketches.fnv1a(s"plane:$p:$i"), 2001L) - 1000L))
+
+  /** Milli-scaled vector components: a_i = floor(v_i · 1000) — the exact
+    * integer domain every gate-variant comparison runs in (floor matches
+    * SQL floor; float→double widening is exact on both engines).
+    */
+  def milliScaled(v: Array[Float]): Array[Long] = {
+    val a = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) { a(i) = math.floor(v(i) * 1000.0).toLong; i += 1 }
+    a
+  }
+
+  /** Sign bits over integer planes: bit p set iff Σ a_i·c_{p,i} ≥ 0. */
+  def signBitsInt(a: Array[Long], planes: Array[Array[Long]]): Long = {
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      var dot = 0L
+      var i = 0
+      val pl = planes(p)
+      while (i < a.length && i < pl.length) { dot += a(i) * pl(i); i += 1 }
+      if (dot >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  /** Oracle-gated LSH top-k: integer-plane signatures, candidate iff the
+    * signature is within Hamming 1 of the query's (the same multiprobe set
+    * as lshTopK), scored with the exact scaled-integer dot. Identical scan
+    * shape to lshTopK — narrow filter + TakeOrderedAndProject.
+    */
+  def lshTopKGate(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      nPlanes: Int = 5
+  ): DataFrame = {
+    import spark.implicits._
+    val planes = spark.sparkContext.broadcast(intPlanes(query.length, nPlanes))
+    val qSig = signBitsInt(milliScaled(query), planes.value)
+    val q = spark.sparkContext.broadcast(query)
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val pl = planes.value; val qv = q.value
+        it.flatMap { case (id, v) =>
+          val sig = signBitsInt(milliScaled(v), pl)
+          if (java.lang.Long.bitCount(sig ^ qSig) <= 1)
+            Some((id, Sketches.scaledDot(v, qv)))
+          else None
+        }
+      }
+      .toDF(idCol, "scaled_dot")
+      .orderBy(col("scaled_dot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Closed-form integer centroids on the milli scale: cell c component i =
+    * fnv1a("centroid:c:i") mod 2001 − 1000.
+    */
+  def intCentroids(dim: Int, nCells: Int): Array[Array[Long]] =
+    Array.tabulate(nCells)(c =>
+      Array.tabulate(dim)(i => math.floorMod(Sketches.fnv1a(s"centroid:$c:$i"), 2001L) - 1000L))
+
+  /** Cell ranking for the gate variant: argmin over c of ‖a − x_c‖² with
+    * lowest-index tiebreak, computed as score_c = Σx_c² − 2·(a·x_c) (the
+    * Σa_i² term is constant per vector, so the argmin — and every tie — is
+    * unchanged; this keeps the SQL oracle a single 64-term dot per cell).
+    * Returns cell indices best-first.
+    */
+  def rankCellsInt(a: Array[Long], cents: Array[Array[Long]]): Array[Int] = {
+    val scores = Array.tabulate(cents.length) { c =>
+      val x = cents(c)
+      var sx2 = 0L; var dot = 0L
+      var i = 0
+      while (i < x.length) {
+        sx2 += x(i) * x(i)
+        if (i < a.length) dot += a(i) * x(i)
+        i += 1
+      }
+      sx2 - 2 * dot
+    }
+    cents.indices.sortBy(c => (scores(c), c)).toArray
+  }
+
+  /** Oracle-gated IVF top-k: closed-form centroids, distributed integer
+    * assignment, nProbe-cell scan, exact scaled-integer scoring — the same
+    * assign→probe→scan plan as ivfTopK with every step SQL-reproducible.
+    */
+  def ivfTopKGate(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import spark.implicits._
+    val cents = spark.sparkContext.broadcast(intCentroids(query.length, nCells))
+    val probe = rankCellsInt(milliScaled(query), cents.value).take(nProbe).toSet
+    val probeB = spark.sparkContext.broadcast(probe)
+    val q = spark.sparkContext.broadcast(query)
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = cents.value; val pr = probeB.value; val qv = q.value
+        it.flatMap { case (id, v) =>
+          if (pr.contains(rankCellsInt(milliScaled(v), cs)(0)))
+            Some((id, Sketches.scaledDot(v, qv)))
+          else None
+        }
+      }
+      .toDF(idCol, "scaled_dot")
+      .orderBy(col("scaled_dot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path alongside
     * LSH: k-means centroids trained on a bounded driver-side sample
     * (deterministic seeded Lloyd iterations; at 100 TB this step is MLlib

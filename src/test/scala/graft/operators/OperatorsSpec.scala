@@ -187,6 +187,84 @@ class OperatorsSpec extends SparkSpec {
     assert(full.toSeq == brute.toSeq)
   }
 
+  test("components: chains, cliques, disjoint components, empty input, singletons via clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4-5, clique {10,11,12}, separate pair (20,21), cross-link 5-10
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+      (5L, 10L)
+    ).toDF("id1", "id2")
+    val comp = Dedup.components(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L, // cross-link merges the clique into the chain
+      20L -> 20L, 21L -> 20L)
+    assert(comp == expect)
+    // empty candidate set → empty mapping, no failure
+    assert(Dedup.components(spark, Seq.empty[(Long, Long)].toDF("id1", "id2")).count() == 0)
+    // clusters: unpaired docs are their own singleton cluster and survive
+    val docs = (1L to 6L).toDF("doc_id")
+    val cl = Dedup.clusters(docs, "doc_id", Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(cl == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 6L, true)))
+  }
+
+  test("components over minhash candidate pairs equals union-find ground truth") {
+    val docs = Tables.read(spark, sfDir, "documents")
+    val sigs = Dedup.minHashSignatures(spark, docs, "doc_id", "text")
+    val pairs = Dedup.minHashCandidates(spark, sigs, bands = 16, minEstJaccard = 0.7)
+      .select(col("id1"), col("id2"))
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find over the same edges (path-halving)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) { parent(r) = parent.getOrElse(parent(r), parent(r)); r = parent(r) }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(k => k -> find(k)).toMap
+    val comp = Dedup.components(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edges.nonEmpty && comp == truth)
+  }
+
+  test("gate-variant ANN: full-probe IVF gate == brute order; LSH gate finds self; reduced-score argmin == true argmin") {
+    import spark.implicits._
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+    // full probe scans everything ⇒ identical to brute-force scaled-dot order
+    val bruteByDot = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) => (id, graft.functions.Sketches.scaledDot(v, q)) }
+      .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSeq
+    val fullProbe = Ann.ivfTopKGate(spark, emb, "vec_id", "embedding", q, 10, nCells = 16, nProbe = 16)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fullProbe == bruteByDot)
+    // the query's own signature is Hamming 0 from itself ⇒ always scanned
+    val lshGate = Ann.lshTopKGate(spark, emb, "vec_id", "embedding", q, 10, nPlanes = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(lshGate.contains(0L))
+    // rankCellsInt's reduced score (Σx²−2a·x) ranks exactly like true ‖a−x‖²
+    val cents = Ann.intCentroids(q.length, 16)
+    val a = Ann.milliScaled(q)
+    val byTrueDist = cents.indices.sortBy { c =>
+      val d = cents(c).zipWithIndex.map { case (x, i) => val t = a(i) - x; t * t }.sum
+      (d, c)
+    }.toSeq
+    assert(Ann.rankCellsInt(a, cents).toSeq == byTrueDist)
+  }
+
   test("Aggregator top-k returns exactly the window top-k rows") {
     val mentions = Mentions.scan(spark, Tables.pages(spark, sfDir), graft.model.Dict.surfaces)
     val cands = Linking.candidates(spark, mentions, graft.model.Dict.aliases)
