@@ -149,9 +149,14 @@ object Bench {
     // in the round-2 artifact), then the reported number is the MIN of
     // `timedRuns` steady-state executions, with the max/min spread emitted
     // alongside so a reader can judge run-to-run stability.
-    val timedRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "2").toInt)
+    val timedRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "3").toInt)
     val results: Seq[(String, Double, Double)] = headline.map { case (name, fn) =>
       def once(): Double = {
+        // settle the heap so a timed run doesn't pay for the garbage of the
+        // previous query (observed: a single full-GC storm inflating one
+        // execution 15× on an otherwise-stable query — min-of-N absorbs it,
+        // but the settle keeps the spread honest about the ENGINE)
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(sHead, sfDir).count() }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
@@ -162,6 +167,16 @@ object Bench {
       (name, times.min, times.max / times.min)
     }
     sHead.stop()
+
+    // iteration aid: headline-only run, skipping the ~10-min scaling section
+    if (sys.env.get("SPARK_GRAFT_HEADLINE_ONLY").contains("1")) {
+      val qsOnly = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val spOnly = results.map { case (k, _, sp) => "\"" + k + "\":" + f"$sp%.2f" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${f"${results.map(_._2).sum}%.3f"},"unit":"sec","queries":$qsOnly,"query_runs":$timedRuns,"query_spread_max_over_min":$spOnly,"sf":"$sfDir"}""")
+      return
+    }
 
     // ------------- scaling evidence: N vs 4N cores (local[2] vs local[8])
     // pure-JVM calibration on this VM (tools/CpuProbe*): 2→8 and 4→16

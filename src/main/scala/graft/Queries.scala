@@ -379,7 +379,17 @@ object Queries {
     * deduped) — (wd:Qa, wdt:P1001, wd:Qb, url).
     */
   def q20Triples(s: SparkSession, dir: String): DataFrame = {
-    val linked = q19LinkTop1(s, dir).select(col("url"), col("qid")).distinct()
+    val all = q19LinkTop1(s, dir).select(col("url"), col("qid")).distinct()
+    // bound the per-url pairing: the self-join emits k² pairs per page, so
+    // an entity-list page at 100× would make one url a quadratic hot key.
+    // Cap at 64 entities per url (deterministic by qid) — never binding on
+    // this corpus (distinct entities per page ≤ alias-dict size = 20, all
+    // SFs), so the oracle is unchanged, but worst-case per-url work is
+    // bounded at scale. The window shuffles on url, the same key the join
+    // needs, so Catalyst reuses the exchange — no extra shuffle. (The
+    // flagship pipeline avoids k² entirely via lead-window adjacency.)
+    val w = Window.partitionBy(col("url")).orderBy(col("qid").asc)
+    val linked = all.withColumn("rk", row_number().over(w)).filter(col("rk") <= 64).drop("rk")
     val l = linked.select(col("url"), col("qid").as("qid1"))
     val r = linked.select(col("url"), col("qid").as("qid2"))
     l.join(r, Seq("url"))

@@ -38,9 +38,12 @@ case class PrefixReplaceExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Session extension registering the function; enable with
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` and use
-  * as `expr("replace_prefixes_fast(col)")`.
+/** Session extension registering the engine's native expressions; enable
+  * with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (works on a plain `spark-submit`/`spark-sql` deployment with this jar on
+  * the classpath — no code changes in the consuming application) and use as
+  * `replace_prefixes_fast(col)` / `scaled_dot_fast(vec, query)` in SQL.
+  * ExtensionsSpec drives both through a config-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -48,6 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("replace_prefixes_fast"),
       new ExpressionInfo(classOf[PrefixReplaceExpr].getName, "replace_prefixes_fast"),
       (children: Seq[Expression]) => PrefixReplaceExpr(children.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("scaled_dot_fast"),
+      new ExpressionInfo(classOf[ScaledDotExpr].getName, "scaled_dot_fast"),
+      (children: Seq[Expression]) => ScaledDotExpr(children.head, children(1))
     ))
   }
 }
