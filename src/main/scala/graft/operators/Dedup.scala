@@ -107,16 +107,24 @@ object Dedup {
       .toDF("id", "simhash")
   }
 
-  /** SimHash near-dup pairs: band on 16-bit chunks (any equal chunk →
-    * candidate; Hamming ≤ maxHamming verified exactly). 4 chunks guarantee
-    * recall for Hamming ≤ 3 by pigeonhole.
+  /** SimHash near-dup pairs: band on `chunkBits`-bit chunks (any equal
+    * chunk → candidate; Hamming ≤ maxHamming verified exactly). `chunks`
+    * chunks guarantee recall for Hamming ≤ chunks−1 by pigeonhole. Defaults
+    * cover the 64-bit fnv1a sketch; the oracle-gated md5 variant uses 4×12.
     */
-  def simHashPairs(spark: SparkSession, hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(
+      spark: SparkSession,
+      hashes: DataFrame,
+      maxHamming: Int = 3,
+      chunks: Int = 4,
+      chunkBits: Int = 16
+  ): DataFrame = {
     import spark.implicits._
+    val mask = (1L << chunkBits) - 1
     val banded = hashes
       .as[(Long, Long)]
       .flatMap { case (id, h) =>
-        (0 until 4).map(b => (b, (h >>> (b * 16)) & 0xffffL, id, h))
+        (0 until chunks).map(b => (b, (h >>> (b * chunkBits)) & mask, id, h))
       }
       .toDF("band", "chunk", "id", "h")
     val l = banded.select(col("band"), col("chunk"), col("id").as("id1"), col("h").as("h1"))
@@ -129,6 +137,52 @@ object Dedup {
       .map { case (a, b, h1, h2) => (a, b, Sketches.hamming(h1, h2)) }
       .toDF("id1", "id2", "hamming")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Corpus-level boilerplate removal (the CCNet-style paragraph dedup a
+    * web-text pipeline runs before training): split every doc into fixed
+    * `paraWords`-word paragraphs, count each distinct paragraph's document
+    * frequency across the corpus, drop paragraphs appearing in ≥ maxDocFreq
+    * docs (copyright footers, nav bars, cookie banners), reassemble the
+    * survivors in order. Two-pass corpus-statistic shape: one aggregation
+    * shuffle for the df count, then a broadcast anti-join (the boilerplate
+    * set is small by definition — it's the head of the frequency
+    * distribution) and one groupBy to rebuild. At 100 TB, key the df
+    * aggregation on md5(para) instead of the text so the shuffle moves
+    * 16-byte digests.
+    *
+    * Output: (idCol, kept_text) for EVERY input doc — a doc whose every
+    * paragraph was boilerplate keeps an empty string, not a dropped row.
+    */
+  def dropBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      paraWords: Int = 50,
+      maxDocFreq: Long = 1000
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val paras = base.as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        toks.grouped(paraWords).zipWithIndex.map { case (ws, i) => (id, i, ws.mkString(" ")) }
+      }
+      .toDF("id", "pidx", "para")
+    val bp = paras.groupBy("para").agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= maxDocFreq)
+      .select(col("para"))
+    val kept = paras.join(broadcast(bp), Seq("para"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("pidx"), col("para")))),
+          x => x.getField("para")),
+        " ").as("kept_text"))
+    base.select(col("id"))
+      .join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
   // ------------------------------------------------ cluster resolution (CC)

@@ -187,6 +187,48 @@ class OperatorsSpec extends SparkSpec {
     assert(full.toSeq == brute.toSeq)
   }
 
+  test("simHash48: md5 parity, identical text → hamming 0, banding finds planted dup") {
+    import spark.implicits._
+    import graft.functions.Sketches
+    // md5 parity with DuckDB pinned: md5('hello') = 5d41402abc4b... →
+    // first 12 hex = 0x5d41402abc4b
+    assert(Sketches.md5Hex("hello") == "5d41402abc4b2a76b9719d911017c592")
+    assert(java.lang.Long.parseLong(Sketches.md5Hex("hello").take(12), 16) == 0x5d41402abc4bL)
+    assert(Sketches.simHash48("") == 0L)
+    assert(Sketches.simHash48("same words here") == Sketches.simHash48("SAME   words\there"))
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "completely different vocabulary everywhere tonight ocean")
+    ).toDF("doc_id", "text")
+    val hashes = docs.as[(Long, String)].map { case (id, t) => (id, Sketches.simHash48(t)) }
+      .toDF("id", "simhash")
+    val pairs = Dedup.simHashPairs(spark, hashes, maxHamming = 12, chunks = 4, chunkBits = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("dropBoilerplate: corpus-frequent paragraph removed, order kept, all-boilerplate doc survives empty") {
+    import spark.implicits._
+    val footer = "copyright acme corp reserved"
+    val docs = (1L to 12L).map { i =>
+      val body = if (i == 12) "" else s"unique${i} payload${i} words${i} here${i} tail${i} end${i} x${i} y${i}"
+      (i, s"$footer $body")
+    }.toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplate(docs, "doc_id", "text", paraWords = 4, maxDocFreq = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 12)
+    // the footer paragraph (df=12 ≥ 10) is gone from every doc
+    assert(out.values.forall(!_.contains("copyright")))
+    // original body survives in order
+    assert(out(3L) == "unique3 payload3 words3 here3 tail3 end3 x3 y3")
+    // a doc that was ALL boilerplate keeps an empty row, not a dropped row
+    assert(out(12L) == "")
+    // rare paragraphs (df=1) are never dropped
+    assert(out(7L).startsWith("unique7"))
+  }
+
   test("components: chains, cliques, disjoint components, empty input, singletons via clusters") {
     import spark.implicits._
     // chain 1-2-3-4-5, clique {10,11,12}, separate pair (20,21), cross-link 5-10
