@@ -1322,6 +1322,26 @@ object Queries {
        |    AS tfidf_micro
        |FROM cands c JOIN df ON c.surface = df.surface CROSS JOIN n""".stripMargin
 
+  /** Graph-materialize node table over the flagship pipeline's triples —
+    * the north-star "partitioned nodes/edges tables" step's node side,
+    * oracle-gated by wrapping the full q40 SQL as a subquery.
+    */
+  def q55Nodes(s: SparkSession, dir: String): DataFrame =
+    KgPipeline.nodeTable(KgPipeline.run(s, dir, numPartitions = s.sparkContext.defaultParallelism))
+
+  def q55Sql: String =
+    s"""WITH final AS (SELECT * FROM (
+       |$q40Sql
+       |) q),
+       |outd AS (SELECT subj AS node, count(*) AS out_degree, count(DISTINCT url) AS n_urls
+       |         FROM final GROUP BY subj),
+       |ind AS (SELECT obj AS node, count(*) AS in_degree FROM final GROUP BY obj)
+       |SELECT coalesce(o.node, i.node) AS node,
+       |       CAST(coalesce(o.out_degree, 0) AS BIGINT) AS out_degree,
+       |       CAST(coalesce(i.in_degree, 0) AS BIGINT) AS in_degree,
+       |       CAST(coalesce(o.n_urls, 0) AS BIGINT) AS n_urls
+       |FROM outd o FULL OUTER JOIN ind i ON o.node = i.node""".stripMargin
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -1377,7 +1397,8 @@ object Queries {
     "q51_ann_multi" -> ((q51AnnMulti _, q51Sql)),
     "q52_tfidf" -> ((q52Tfidf _, q52Sql)),
     "q27_simhash_pairs" -> ((q27SimHashGate _, q27GateSql)),
-    "q54_boilerplate" -> ((q54Boilerplate _, q54Sql))
+    "q54_boilerplate" -> ((q54Boilerplate _, q54Sql)),
+    "q55_nodes" -> ((q55Nodes _, q55Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -247,7 +247,9 @@ object Dedup {
     var it = 0
     while (!converged && it < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      converged = next.except(e).isEmpty && e.except(next).isEmpty
+      // both sides are distinct() sets, so equal counts + one-way empty
+      // difference ⇒ set equality (halves the convergence-check shuffles)
+      converged = next.count() == e.count() && next.except(e).isEmpty
       e = next
       it += 1
     }

@@ -178,6 +178,42 @@ object KgPipeline {
     dedupTriples(triples(spark, pages))
   }
 
+  /** Node table of the materialized graph: every entity appearing as a
+    * subject or object, with out/in degree and distinct-source counts —
+    * two partial-aggregating shuffles + one full-outer join, all on the
+    * node key.
+    */
+  def nodeTable(triples: DataFrame): DataFrame = {
+    val outd = triples.groupBy(col("subj").as("node"))
+      .agg(count(lit(1)).as("out_degree"), countDistinct(col("url")).as("n_urls"))
+    val ind = triples.groupBy(col("obj").as("node"))
+      .agg(count(lit(1)).as("in_degree"))
+    outd.join(ind, Seq("node"), "full_outer")
+      .select(
+        col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("n_urls"), lit(0L)).as("n_urls"))
+  }
+
+  /** North-star materialize: the deduped triples as partitioned nodes/edges
+    * tables. Parquet + an explicit hash-bucket partition column stand in
+    * for Iceberg's bucket transform (no Iceberg runtime jar in this
+    * sandbox — on a cluster this becomes `writeTo(...).using("iceberg")
+    * .partitionedBy(bucket(N, col))`, same layout semantics). Edges bucket
+    * on subj so one node's out-edges co-locate (adjacency scans read one
+    * bucket); nodes bucket on the node key.
+    */
+  def materializeGraph(triples: DataFrame, outPath: String, buckets: Int = 16): Unit = {
+    import graft.sources.Tables
+    val edges = triples.withColumn(
+      "bucket", pmod(xxhash64(col("subj")), lit(buckets)))
+    Tables.write(edges, s"$outPath/edges", Seq("bucket"))
+    val nodes = nodeTable(triples).withColumn(
+      "bucket", pmod(xxhash64(col("node")), lit(buckets)))
+    Tables.write(nodes, s"$outPath/nodes", Seq("bucket"))
+  }
+
   /** Resumable form of the full pipeline (north_rule: checkpoint/resume with
     * per-partition lineage + metrics). Every triple is a function of its own
     * page only (aboutness + within-page adjacency; dedup key includes url),

@@ -67,6 +67,30 @@ class PipelineSpec extends SparkSpec {
     assert(f.endsWith("INSERT DATA { a b c . };\n\nDELETE DATA { d e f . };\n\n"))
   }
 
+  test("materializeGraph: bucket-partitioned nodes/edges round-trip; degrees consistent") {
+    val tmp = Files.createTempDirectory("graft-graph").toString
+    val triples = KgPipeline.run(spark, sfDir, numPartitions = 4)
+    KgPipeline.materializeGraph(triples, tmp, buckets = 8)
+    // physical layout: hash-bucket partition dirs on both tables
+    def bucketDirs(t: String) = new java.io.File(s"$tmp/$t").listFiles()
+      .map(_.getName).filter(_.startsWith("bucket=")).toSeq
+    assert(bucketDirs("edges").nonEmpty && bucketDirs("nodes").nonEmpty)
+    // edges round-trip exactly (bucket column added, nothing lost/dup'd)
+    val edges = spark.read.parquet(s"$tmp/edges")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("subj"), r.getAs[String]("pred"), r.getAs[String]("obj"),
+        r.getAs[String]("url"))
+    assert(edges.collect().map(key).toSet == triples.collect().map(key).toSet)
+    // node table: every subj/obj appears once; Σ out_degree = Σ in_degree = |edges|
+    val nodes = spark.read.parquet(s"$tmp/nodes")
+    val n = nodes.collect()
+    val ids = n.map(_.getAs[String]("node"))
+    assert(ids.length == ids.distinct.length)
+    val total = triples.count()
+    assert(n.map(_.getAs[Long]("out_degree")).sum == total)
+    assert(n.map(_.getAs[Long]("in_degree")).sum == total)
+  }
+
   test("runResumable: full-pipeline resume — recompute only stale partitions, output equals direct run") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft-resume").toString
