@@ -1342,6 +1342,69 @@ object Queries {
        |       CAST(coalesce(o.n_urls, 0) AS BIGINT) AS n_urls
        |FROM outd o FULL OUTER JOIN ind i ON o.node = i.node""".stripMargin
 
+  /** North-star "context-embedding candidate ranking" (the other half of
+    * the TF-IDF/embedding link-scoring pair): re-rank link candidates by
+    * the scaled-integer dot of (doc context vector, entity vector). Doc
+    * vectors join by doc key (a co-partitionable big-big join at scale);
+    * entity vectors ride a broadcast (the entity dict is small). Scoring
+    * composes the native codegen ScaledDotExpr; top-1 per (url, surface)
+    * with a qid tiebreak. Entity→vector assignment is the deterministic
+    * qid-number mod |corpus| so the oracle reproduces it.
+    */
+  def q56EmbedLink(s: SparkSession, dir: String): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "scaled_dot_fast",
+      exprs => graft.plans.ScaledDotExpr(exprs.head, exprs(1)),
+      "built-in")
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val n = emb.count()
+    val pages = Tables.pages(s, dir)
+    val present = Mentions.scan(s, pages, Dict.surfaces, wordBounds = false)
+      .select(col("url"), col("surface")).distinct()
+    import s.implicits._
+    val cands = present.join(broadcast(Dict.aliases.toDF()), Seq("surface"))
+      .withColumn("doc_id",
+        expr("cast(regexp_extract(url, 'doc([0-9]+)$', 1) as bigint)"))
+      .withColumn("ent_vid", expr(s"cast(substr(qid, 2) as bigint) % $n"))
+    val docVec = emb.select(col("vec_id").as("doc_id"), col("embedding").as("dvec"))
+    val entVec = emb.select(col("vec_id").as("ent_vid"), col("embedding").as("evec"))
+    val scored = cands
+      .join(docVec, Seq("doc_id"))
+      .join(broadcast(entVec), Seq("ent_vid"))
+      .withColumn("escore", expr("scaled_dot_fast(dvec, evec)"))
+    val w = Window.partitionBy(col("url"), col("surface"))
+      .orderBy(col("escore").desc, col("qid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("url"), col("surface"), col("qid"), col("escore"))
+  }
+
+  def q56Sql: String = {
+    val dot = (1 to 64).map(i =>
+      s"CAST(floor(CAST(dv.embedding[$i] AS DOUBLE)*1000) AS BIGINT)*" +
+        s"CAST(floor(CAST(ev.embedding[$i] AS DOUBLE)*1000) AS BIGINT)").mkString(" + ")
+    s"""WITH $docsCte, $aliasesCte,
+       |n AS (SELECT count(*) AS cnt FROM embeddings),
+       |present AS (
+       |  SELECT DISTINCT d.url, a.surface FROM docs d JOIN aliases a
+       |  ON length(d.text) - length(replace(d.text, a.surface, '')) > 0),
+       |cands AS (
+       |  SELECT p.url, p.surface, a.qid,
+       |         CAST(regexp_extract(p.url, 'doc([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+       |         CAST(substr(a.qid, 2) AS BIGINT) % n.cnt AS ent_vid
+       |  FROM present p JOIN aliases a ON p.surface = a.surface CROSS JOIN n),
+       |scored AS (
+       |  SELECT c.url, c.surface, c.qid, ($dot) AS escore
+       |  FROM cands c
+       |  JOIN embeddings dv ON dv.vec_id = c.doc_id
+       |  JOIN embeddings ev ON ev.vec_id = c.ent_vid)
+       |SELECT url, surface, qid, escore FROM (
+       |  SELECT url, surface, qid, escore,
+       |         row_number() OVER (PARTITION BY url, surface
+       |                            ORDER BY escore DESC, qid) AS rn
+       |  FROM scored) WHERE rn = 1""".stripMargin
+  }
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -1398,7 +1461,8 @@ object Queries {
     "q52_tfidf" -> ((q52Tfidf _, q52Sql)),
     "q27_simhash_pairs" -> ((q27SimHashGate _, q27GateSql)),
     "q54_boilerplate" -> ((q54Boilerplate _, q54Sql)),
-    "q55_nodes" -> ((q55Nodes _, q55Sql))
+    "q55_nodes" -> ((q55Nodes _, q55Sql)),
+    "q56_embed_link" -> ((q56EmbedLink _, q56Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -223,6 +223,12 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(df) == 1, initialPlan(df).toString)
   }
 
+  test("embedding link scoring: entity vectors broadcast; scoring stays native (scaled_dot_fast)") {
+    val df = Queries.q56EmbedLink(spark, sfDir)
+    assert(countBroadcasts(df) >= 2, initialPlan(df).toString) // alias dim + entity vectors
+    assert(initialPlan(df).toString.contains("scaled_dot_fast"))
+  }
+
   test("embedding near-dup: the bucket self-join shuffles band keys + ids only, never vectors") {
     val df = operators.Ann.nearDupPairs(
       spark, Tables.read(spark, sfDir, "embeddings"), "vec_id", "embedding")
