@@ -1322,6 +1322,76 @@ object Queries {
        |    AS tfidf_micro
        |FROM cands c JOIN df ON c.surface = df.surface CROSS JOIN n""".stripMargin
 
+  /** PII redaction over documents with closed-form planted PII (an email
+    * and a phone number derived from doc_id appended to every doc), so the
+    * oracle reproduces both the injection and the scrub — pure
+    * regexp_replace chain on both engines, no UDF.
+    */
+  def q57PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-1234")
+      ).as("text"))
+    docs.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("clean"))
+  }
+
+  val q57Sql: String =
+    s"""SELECT doc_id,
+       |regexp_replace(
+       |  regexp_replace(
+       |    text || ' contact user' || doc_id || '@example.com or 555-' ||
+       |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234',
+       |    '${TextAnalysis.emailPattern}', '[EMAIL]', 'g'),
+       |  '${TextAnalysis.phonePattern}', '[PHONE]', 'g') AS clean
+       |FROM documents""".stripMargin
+
+  /** The dedup pipeline composed END-TO-END on the real near-dup corpus:
+    * minhash-LSH candidates → connected components → min-id survivor per
+    * cluster for EVERY doc. The corpus's planted groups include chains (a
+    * doc near-dup to two others), so the oracle computes true connected
+    * components via a recursive min-label walk over the exact-Jaccard pair
+    * set (which q26's gate proves equals the LSH candidate set here).
+    */
+  def q58DedupE2E(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    val sigs = Dedup.minHashSignatures(s, docs, "doc_id", "text")
+    val pairs = Dedup.minHashCandidates(s, sigs, bands = 16, minEstJaccard = 0.7)
+      .select(col("id1"), col("id2"))
+    Dedup.clusters(t(s, dir, "documents"), "doc_id", pairs)
+  }
+
+  def q58Sql: String =
+    s"""WITH RECURSIVE norm AS (
+       |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         CASE WHEN length(t) < 5 THEN t ELSE substr(t, g.i, 5) END AS s
+       |  FROM norm, LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i) g
+       |  WHERE t <> ''),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id1, id2 FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = inter.id1
+       |  JOIN sizes s2 ON s2.doc_id = inter.id2
+       |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6),
+       |e AS (SELECT id1 AS u, id2 AS v FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+       |walk(id, lab) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+       |  UNION
+       |  SELECT e.u, w.lab FROM e JOIN walk w ON w.id = e.v),
+       |comp AS (SELECT id, min(lab) AS component FROM walk GROUP BY id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+       |       coalesce(c.component, d.doc_id) = d.doc_id AS is_survivor
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
+
   /** Graph-materialize node table over the flagship pipeline's triples —
     * the north-star "partitioned nodes/edges tables" step's node side,
     * oracle-gated by wrapping the full q40 SQL as a subquery.
@@ -1462,7 +1532,9 @@ object Queries {
     "q27_simhash_pairs" -> ((q27SimHashGate _, q27GateSql)),
     "q54_boilerplate" -> ((q54Boilerplate _, q54Sql)),
     "q55_nodes" -> ((q55Nodes _, q55Sql)),
-    "q56_embed_link" -> ((q56EmbedLink _, q56Sql))
+    "q56_embed_link" -> ((q56EmbedLink _, q56Sql)),
+    "q57_pii_redact" -> ((q57PiiRedact _, q57Sql)),
+    "q58_dedup_e2e" -> ((q58DedupE2E _, q58Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -105,6 +105,21 @@ object TextAnalysis {
   /** Rolling polynomial hash (base 31, mod 2^61-1) of the normalized text —
     * deterministic doc fingerprint usable for shingling.
     */
+  /** PII scrubbing for training text: emails → [EMAIL], North-American-style
+    * phone numbers → [PHONE]. Pure `regexp_replace` chain (codegen'd, no
+    * UDF); patterns stay inside the Java-regex ∩ RE2 common subset so the
+    * DuckDB oracle applies the identical expressions (no backrefs, no
+    * lookaround). Email first so a digit-bearing local-part can't be
+    * half-eaten by the phone pass.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
+
   def rollingHash(s: String): Long = {
     val M = (1L << 61) - 1
     var h = 0L

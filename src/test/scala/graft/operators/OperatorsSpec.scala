@@ -187,6 +187,25 @@ class OperatorsSpec extends SparkSpec {
     assert(full.toSeq == brute.toSeq)
   }
 
+  test("redactPii: emails and phones scrubbed, multiples handled, plain text untouched") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val rows = Seq(
+      (1L, "reach a.b-c_9@sub.example.org or x@y.io today"),
+      (2L, "call 555-123-4567 then 800-000-9999 thanks"),
+      (3L, "mixed bob@corp.com and 555-111-2222 in one line"),
+      (4L, "no pii here, just words and numbers 12345 and a-b"),
+      (5L, "not-a-phone 55-123-4567 and 5551-123-4567 stay") // boundaries respected
+    ).toDF("id", "text")
+    val out = rows.select(col("id"), TextAnalysis.redactPii(col("text")).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "reach [EMAIL] or [EMAIL] today")
+    assert(out(2L) == "call [PHONE] then [PHONE] thanks")
+    assert(out(3L) == "mixed [EMAIL] and [PHONE] in one line")
+    assert(out(4L) == "no pii here, just words and numbers 12345 and a-b")
+    assert(out(5L) == "not-a-phone 55-123-4567 and 5551-123-4567 stay")
+  }
+
   test("simHash48: md5 parity, identical text → hamming 0, banding finds planted dup") {
     import spark.implicits._
     import graft.functions.Sketches
