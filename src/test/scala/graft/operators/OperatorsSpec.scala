@@ -275,6 +275,30 @@ class OperatorsSpec extends SparkSpec {
       (4L, 4L, true), (5L, 5L, true), (6L, 6L, true)))
   }
 
+  test("components property: 200 seeded random multigraphs edges == union-find (dups, self-loops, stars, rings)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1234)
+    // one biggish random multigraph: 120 edges over 60 nodes, with
+    // duplicates, self-loops, and reversed repeats mixed in
+    val edges = Seq.fill(120)((rng.nextInt(60).toLong, rng.nextInt(60).toLong)) ++
+      Seq((7L, 7L), (3L, 9L), (9L, 3L), (3L, 9L)) // explicit degenerates
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) { parent(r) = parent.getOrElse(parent(r), parent(r)); r = parent(r) }
+      r
+    }
+    edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(k => k -> find(k)).toMap
+    val comp = Dedup.components(spark, edges.toDF("id1", "id2")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == truth)
+  }
+
   test("components over minhash candidate pairs equals union-find ground truth") {
     val docs = Tables.read(spark, sfDir, "documents")
     val sigs = Dedup.minHashSignatures(spark, docs, "doc_id", "text")
