@@ -1272,7 +1272,10 @@ object Queries {
         qB.value.map { case (qid, qv) => (qid, id, Sketches.scaledDot(v, qv)) }
       }
       .toDF("query_id", "vec_id", "scaled_dot")
-    Ann.topKPerGroup(scored, "query_id", "scaled_dot", "vec_id", 20)
+    // the bounded-buffer Aggregator form: ≤ k scored rows per (query, map
+    // partition) cross the one shuffle, instead of every scored corpus row
+    // (window form proven row-equal in OperatorsSpec)
+    Ann.topKPerGroupAgg(scored, "query_id", "scaled_dot", "vec_id", 20)
       .select(col("query_id"), col("vec_id"), col("scaled_dot"), col("rank").cast("bigint").as("rank"))
   }
 

@@ -396,4 +396,52 @@ object Ann {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Typed bounded-buffer top-k per group — the 100×-scale form of
+    * topKPerGroup: a map-side-combining `Aggregator[ScoredId, List, Seq]`
+    * (the Linking.TopKQids pattern), so the group shuffle moves at most k
+    * scored rows per (query, map partition) instead of every scored corpus
+    * row. Same output rows and rank order (score desc, id asc) as the
+    * window form — proven equal in OperatorsSpec; partial/final
+    * ObjectHashAggregate asserted in PlanSpec.
+    */
+  final case class ScoredId(id: Long, score: Long)
+
+  class TopKIds(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
+    private def better(a: ScoredId, b: ScoredId): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def insert(buf: List[ScoredId], v: ScoredId): List[ScoredId] = {
+      val (pre, post) = buf.span(b => better(b, v))
+      val merged = pre ::: v :: post
+      if (merged.length > k) merged.take(k) else merged
+    }
+    def zero: List[ScoredId] = Nil
+    def reduce(buf: List[ScoredId], v: ScoredId): List[ScoredId] = insert(buf, v)
+    def merge(a: List[ScoredId], b: List[ScoredId]): List[ScoredId] = b.foldLeft(a)(insert)
+    def finish(buf: List[ScoredId]): Seq[ScoredId] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[ScoredId]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+  }
+
+  /** Aggregator-based top-k per group: identical rows/columns to
+    * topKPerGroup (groupCol, idCol, scoreCol, rank), different physical
+    * shape (partial + final agg, ≤ k rows per group cross the shuffle).
+    */
+  def topKPerGroupAgg(scored: DataFrame, groupCol: String, scoreCol: String, idCol: String, k: Int): DataFrame = {
+    val fn = org.apache.spark.sql.functions.udaf(
+      new TopKIds(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ScoredId]())
+    scored
+      .groupBy(col(groupCol))
+      .agg(fn(col(idCol), col(scoreCol)).as("topk"))
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("rank0", "hit")))
+      .select(
+        col(groupCol),
+        col("hit.id").as(idCol),
+        col("hit.score").as(scoreCol),
+        (col("rank0") + 1).cast("int").as("rank"))
+  }
 }

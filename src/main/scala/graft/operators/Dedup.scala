@@ -145,11 +145,10 @@ object Dedup {
     * frequency across the corpus, drop paragraphs appearing in ≥ maxDocFreq
     * docs (copyright footers, nav bars, cookie banners), reassemble the
     * survivors in order. Two-pass corpus-statistic shape: one aggregation
-    * shuffle for the df count, then a broadcast anti-join (the boilerplate
-    * set is small by definition — it's the head of the frequency
-    * distribution) and one groupBy to rebuild. At 100 TB, key the df
-    * aggregation on md5(para) instead of the text so the shuffle moves
-    * 16-byte digests.
+    * shuffle for the df count — keyed on md5(para), so the wide op moves
+    * 16-byte digests, never paragraph text — then a broadcast anti-join on
+    * the digest (the boilerplate set is small by definition: it's the head
+    * of the frequency distribution) and one groupBy to rebuild.
     *
     * Output: (idCol, kept_text) for EVERY input doc — a doc whose every
     * paragraph was boilerplate keeps an empty string, not a dropped row.
@@ -170,10 +169,11 @@ object Dedup {
         toks.grouped(paraWords).zipWithIndex.map { case (ws, i) => (id, i, ws.mkString(" ")) }
       }
       .toDF("id", "pidx", "para")
-    val bp = paras.groupBy("para").agg(countDistinct(col("id")).as("df"))
+    val withFp = paras.withColumn("pfp", md5(col("para")))
+    val bp = withFp.groupBy("pfp").agg(countDistinct(col("id")).as("df"))
       .filter(col("df") >= maxDocFreq)
-      .select(col("para"))
-    val kept = paras.join(broadcast(bp), Seq("para"), "left_anti")
+      .select(col("pfp"))
+    val kept = withFp.join(broadcast(bp), Seq("pfp"), "left_anti").drop("pfp")
     val rebuilt = kept.groupBy("id").agg(
       array_join(
         transform(

@@ -218,9 +218,15 @@ class PlanSpec extends SparkSpec {
     assert(comp.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType))
   }
 
-  test("multi-query ANN: one shuffle total for M queries (window top-k), not M scans") {
+  test("multi-query ANN: one shuffle total for M queries, combined map-side (≤k rows/group cross it)") {
     val df = Queries.q51AnnMulti(spark, sfDir)
     assert(countShuffles(df) == 1, initialPlan(df).toString)
+    val aggs = initialPlan(df).collect {
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, Final}
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode == Partial)), initialPlan(df).toString)
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode == Final)), initialPlan(df).toString)
   }
 
   test("embedding link scoring: entity vectors broadcast; scoring stays native (scaled_dot_fast)") {

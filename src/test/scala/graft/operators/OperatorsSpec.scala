@@ -350,6 +350,26 @@ class OperatorsSpec extends SparkSpec {
     assert(Ann.rankCellsInt(a, cents).toSeq == byTrueDist)
   }
 
+  test("topKPerGroupAgg == topKPerGroup on multi-query ANN scoring") {
+    import spark.implicits._
+    import graft.functions.Sketches
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qB = spark.sparkContext.broadcast(queries)
+    val scored = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) => qB.value.map { case (q, qv) => (q, id, Sketches.scaledDot(v, qv)) } }
+      .toDF("query_id", "vec_id", "scaled_dot")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("scaled_dot"),
+        r.getAs[Int]("rank"))
+    val win = Ann.topKPerGroup(scored, "query_id", "scaled_dot", "vec_id", 7).collect().map(key).toSet
+    val agg = Ann.topKPerGroupAgg(scored, "query_id", "scaled_dot", "vec_id", 7).collect().map(key).toSet
+    assert(agg == win && agg.size == 4 * 7)
+  }
+
   test("Aggregator top-k returns exactly the window top-k rows") {
     val mentions = Mentions.scan(spark, Tables.pages(spark, sfDir), graft.model.Dict.surfaces)
     val cands = Linking.candidates(spark, mentions, graft.model.Dict.aliases)
