@@ -1351,6 +1351,54 @@ object Queries {
        |  '${TextAnalysis.phonePattern}', '[PHONE]', 'g') AS clean
        |FROM documents""".stripMargin
 
+  /** URL canonicalization over closed-form messy URLs (mixed-case scheme
+    * and host, default and non-default ports, tracking params, fragments,
+    * missing paths) — every branch of the canonicalizer exercised and the
+    * oracle applies the identical regex + list expressions in DuckDB.
+    */
+  def q59UrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events").select(
+      col("event_id"),
+      when(col("event_id") % 4 === 0,
+        concat(lit("HTTP://WWW.Example.com:80/a"), col("event_id")))
+        .when(col("event_id") % 4 === 1,
+          concat(lit("https://Example.COM:443/p?utm_source=x&b="), col("user_id"), lit("&a=1#f")))
+        .when(col("event_id") % 4 === 2,
+          concat(lit("https://site.org:8443/x?gclid=abc&z="), col("user_id")))
+        .otherwise(concat(lit("http://example"), col("user_id"), lit(".com#frag")))
+        .as("url"))
+    raw.select(col("event_id"), TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
+  }
+
+  val q59Sql: String =
+    """WITH u AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 4 = 0 THEN 'HTTP://WWW.Example.com:80/a' || event_id
+      |         WHEN event_id % 4 = 1 THEN 'https://Example.COM:443/p?utm_source=x&b=' || user_id || '&a=1#f'
+      |         WHEN event_id % 4 = 2 THEN 'https://site.org:8443/x?gclid=abc&z=' || user_id
+      |         ELSE 'http://example' || user_id || '.com#frag' END AS url
+      |  FROM events),
+      |c AS (SELECT event_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+      |parts AS (
+      |  SELECT event_id,
+      |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+      |    coalesce(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS rawpath,
+      |    coalesce(regexp_extract(nf, '\?(.*)$', 1), '') AS q
+      |  FROM c),
+      |qsorted AS (
+      |  SELECT *, coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |           p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=') AND p <> '')), '&'), '') AS qs
+      |  FROM parts)
+      |SELECT event_id,
+      |  scheme || '://' ||
+      |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |       ELSE hostport END ||
+      |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
+      |  CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
+      |FROM qsorted""".stripMargin
+
   /** The dedup pipeline composed END-TO-END on the real near-dup corpus:
     * minhash-LSH candidates → connected components → min-id survivor per
     * cluster for EVERY doc. The corpus's planted groups include chains (a
@@ -1537,7 +1585,8 @@ object Queries {
     "q55_nodes" -> ((q55Nodes _, q55Sql)),
     "q56_embed_link" -> ((q56EmbedLink _, q56Sql)),
     "q57_pii_redact" -> ((q57PiiRedact _, q57Sql)),
-    "q58_dedup_e2e" -> ((q58DedupE2E _, q58Sql))
+    "q58_dedup_e2e" -> ((q58DedupE2E _, q58Sql)),
+    "q59_url_canon" -> ((q59UrlCanon _, q59Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

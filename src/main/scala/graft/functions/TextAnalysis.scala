@@ -120,6 +120,32 @@ object TextAnalysis {
       regexp_replace(text, emailPattern, "[EMAIL]"),
       phonePattern, "[PHONE]")
 
+  /** URL canonicalization for web-corpus dedup keys: lowercase scheme+host,
+    * strip the fragment, strip default ports (:80 for http, :443 for
+    * https), normalize an empty path to "/", drop tracking params
+    * (utm_*, fbclid, gclid), and sort the surviving query params. Pure
+    * built-in Column chain (regexp + higher-order array functions — no
+    * UDF, stays in codegen); patterns kept RE2-compatible so the DuckDB
+    * oracle runs the identical expressions.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val rawPath = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val q = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = filter(
+      split(q, "&"),
+      p => !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)=") && p =!= "")
+    val qs = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
   def rollingHash(s: String): Long = {
     val M = (1L << 61) - 1
     var h = 0L

@@ -187,6 +187,27 @@ class OperatorsSpec extends SparkSpec {
     assert(full.toSeq == brute.toSeq)
   }
 
+  test("canonicalizeUrl: scheme/host case, default vs non-default ports, tracking params, sorting, fragments") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val urls = Seq(
+      (1L, "HTTP://WWW.Example.com:80/a"),
+      (2L, "https://Example.COM:443/p?utm_source=x&b=2&a=1#f"),
+      (3L, "https://site.org:8443/x?gclid=abc&z=9&utm_campaign=q&y=1"),
+      (4L, "http://example.com"),
+      (5L, "https://h.io:80/q"), // :80 is NOT default for https — kept
+      (6L, "ftp://Weird.Host:21/f?b=1&a=2") // unknown scheme: port kept, params still sorted
+    ).toDF("id", "url")
+    val out = urls.select(col("id"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "http://www.example.com/a")
+    assert(out(2L) == "https://example.com/p?a=1&b=2")
+    assert(out(3L) == "https://site.org:8443/x?y=1&z=9")
+    assert(out(4L) == "http://example.com/")
+    assert(out(5L) == "https://h.io:80/q")
+    assert(out(6L) == "ftp://weird.host:21/f?a=2&b=1")
+  }
+
   test("redactPii: emails and phones scrubbed, multiples handled, plain text untouched") {
     import spark.implicits._
     import graft.functions.TextAnalysis
