@@ -125,8 +125,9 @@ object TextAnalysis {
     * https), normalize an empty path to "/", drop tracking params
     * (utm_*, fbclid, gclid), and sort the surviving query params. Pure
     * built-in Column chain (regexp + higher-order array functions — no
-    * UDF, stays in codegen); patterns kept RE2-compatible so the DuckDB
-    * oracle runs the identical expressions.
+    * UDF, no object ser/deser; the HOF lambdas evaluate on Catalyst's
+    * internal rows); patterns kept RE2-compatible so the DuckDB oracle
+    * runs the identical expressions.
     */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
