@@ -139,6 +139,16 @@ object Bench {
       "q51_ann_multi" -> (Queries.q51AnnMulti _)
     )
     val sHead = session(cpus)
+    // per-query engine cost: task run time accumulated per timed window —
+    // host-phase noise hits wall-clock hardest, so the (wall, task-sec)
+    // pair per query lets a reader separate "plan got slower" (task-sec up)
+    // from "host was slow" (wall up, task-sec flat)
+    val headTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    sHead.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        headTaskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+    })
     // untimed first-touch: file listing, parquet footers, codegen of the
     // common scan shapes — so per-query numbers reflect the engine, not
     // session cold-start (the first timed query otherwise absorbs ~3 s)
@@ -153,31 +163,36 @@ object Bench {
     // `timedRuns` steady-state executions, with the max/min spread emitted
     // alongside so a reader can judge run-to-run stability.
     val timedRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "3").toInt)
-    val results: Seq[(String, Double, Double)] = headline.map { case (name, fn) =>
-      def once(): Double = {
+    val results: Seq[(String, Double, Double, Double)] = headline.map { case (name, fn) =>
+      def once(): (Double, Double) = {
         // settle the heap so a timed run doesn't pay for the garbage of the
         // previous query (observed: a single full-GC storm inflating one
         // execution 15× on an otherwise-stable query — min-of-N absorbs it,
         // but the settle keeps the spread honest about the ENGINE)
         System.gc()
+        val task0 = headTaskMs.get()
         val t0 = System.nanoTime()
         try { fn(sHead, sfDir).count() }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, (headTaskMs.get() - task0) / 1000.0)
       }
       once() // warm-in, untimed
-      val times = Seq.fill(timedRuns)(once())
-      (name, times.min, times.max / times.min)
+      val runs = Seq.fill(timedRuns)(once())
+      val best = runs.minBy(_._1)
+      (name, best._1, runs.map(_._1).max / best._1, best._2)
     }
     sHead.stop()
 
+    def resultsJson: (String, String, String) = (
+      results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}"),
+      results.map { case (k, _, sp, _) => "\"" + k + "\":" + f"$sp%.2f" }.mkString("{", ",", "}"),
+      results.map { case (k, _, _, ts) => "\"" + k + "\":" + f"$ts%.3f" }.mkString("{", ",", "}")
+    )
+
     // iteration aid: headline-only run, skipping the ~10-min scaling section
     if (sys.env.get("SPARK_GRAFT_HEADLINE_ONLY").contains("1")) {
-      val qsOnly = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-      val spOnly = results.map { case (k, _, sp) => "\"" + k + "\":" + f"$sp%.2f" }
-        .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${f"${results.map(_._2).sum}%.3f"},"unit":"sec","queries":$qsOnly,"query_runs":$timedRuns,"query_spread_max_over_min":$spOnly,"sf":"$sfDir"}""")
+      val (qsOnly, spOnly, tsOnly) = resultsJson
+      println(s"""{"metric":"total","value":${f"${results.map(_._2).sum}%.3f"},"unit":"sec","queries":$qsOnly,"query_runs":$timedRuns,"query_spread_max_over_min":$spOnly,"query_task_sec":$tsOnly,"sf":"$sfDir"}""")
       return
     }
 
@@ -272,14 +287,11 @@ object Bench {
     val utilLow = pairs.map(_._1.util).max
     val utilHigh = pairs.map(_._2.util).max
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp) => "\"" + k + "\":" + f"$sp%.2f" }
-      .mkString("{", ",", "}")
+    val (qs, spreads, taskSecs) = resultsJson
     val total = f"${results.map(_._2).sum}%.3f"
     val scaling = f"""{"job":"kg_pipeline_rep$rep","triples":$nHigh,"cores_low":$coresLow,"cores_high":$coresHigh,"sec_low":$tLow%.2f,"sec_high":$tHigh%.2f,"triples_per_sec_low":$thrLow%.0f,"triples_per_sec_high":$thrHigh%.0f,"engine_util_low":$utilLow%.3f,"engine_util_high":$utilHigh%.3f,"task_time_ratio":$ttr%.3f,"pair_efficiencies":$pairEffsJson,"no_clean_window":$noCleanWindow,"efficiency":$eff%.3f}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$timedRuns,"query_spread_max_over_min":$spreads,"sf":"$sfDir","scaling":$scaling}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$timedRuns,"query_spread_max_over_min":$spreads,"query_task_sec":$taskSecs,"sf":"$sfDir","scaling":$scaling}"""
     println(line)
     // stdout goes through sbt's logger (every line gets an [info]/[error]
     // tag and is interleaved with Spark logs), so ALSO write the artifact to

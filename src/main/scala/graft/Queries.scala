@@ -1351,6 +1351,27 @@ object Queries {
        |  '${TextAnalysis.phonePattern}', '[PHONE]', 'g') AS clean
        |FROM documents""".stripMargin
 
+  /** int8-quantized ANN brute force: the 4×-less-IO scan kernel, scored in
+    * exact integer arithmetic over clamp(floor(v·127)) components so the
+    * oracle reproduces quantization and scoring term-for-term.
+    */
+  def q60AnnInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    Ann.int8TopK(s, emb, "vec_id", "embedding", query, k = 20)
+  }
+
+  val q60Sql: String = {
+    def q8(ref: String, i: Int) =
+      s"greatest(-127, least(127, CAST(floor(CAST($ref.embedding[$i] AS DOUBLE)*127) AS BIGINT)))"
+    val dot = (1 to 64).map(i => s"${q8("e", i)}*${q8("q", i)}").mkString(" + ")
+    s"""SELECT e.vec_id, ($dot) AS int8_dot
+       |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |ORDER BY int8_dot DESC, e.vec_id LIMIT 20""".stripMargin
+  }
+
   /** URL canonicalization over closed-form messy URLs (mixed-case scheme
     * and host, default and non-default ports, tracking params, fragments,
     * missing paths) — every branch of the canonicalizer exercised and the
@@ -1586,7 +1607,8 @@ object Queries {
     "q56_embed_link" -> ((q56EmbedLink _, q56Sql)),
     "q57_pii_redact" -> ((q57PiiRedact _, q57Sql)),
     "q58_dedup_e2e" -> ((q58DedupE2E _, q58Sql)),
-    "q59_url_canon" -> ((q59UrlCanon _, q59Sql))
+    "q59_url_canon" -> ((q59UrlCanon _, q59Sql)),
+    "q60_ann_int8" -> ((q60AnnInt8 _, q60Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -293,6 +293,61 @@ object Ann {
       .limit(k)
   }
 
+  /** Scalar (int8) quantization — the memory/IO lever at 100 TB: a 64-dim
+    * float32 vector is 256 B; quantized it's 64 B, so a scan reads 4× less
+    * and the hot set fits 4× more vectors per executor. q_i =
+    * clamp(floor(v_i·127), −127, 127) — floor (not round) so Spark and the
+    * SQL oracle agree bit-for-bit, clamp keeps the product sum far inside
+    * Long range.
+    */
+  def quantizeInt8(v: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) {
+      val q = math.floor(v(i) * 127.0).toLong
+      out(i) = math.max(-127L, math.min(127L, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Integer dot over quantized vectors. */
+  def dotInt8(a: Array[Byte], b: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length && i < b.length) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
+
+  /** Quantized brute-force top-k: quantize corpus and query to int8, score
+    * with the exact integer dot, deterministic (score desc, id) order. At
+    * scale the corpus would be stored pre-quantized (a 64 B binary column)
+    * and this becomes a pure scan-side kernel; recall vs the float scorer
+    * is spec-asserted, exact agreement is oracle-gated (quantization is
+    * floor/clamp arithmetic the SQL oracle reproduces).
+    */
+  def int8TopK(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val qq = spark.sparkContext.broadcast(quantizeInt8(query))
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val q = qq.value
+        it.map { case (id, v) => (id, dotInt8(quantizeInt8(v), q)) }
+      }
+      .toDF(idCol, "int8_dot")
+      .orderBy(col("int8_dot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path alongside
     * LSH: k-means centroids trained on a bounded driver-side sample
     * (deterministic seeded Lloyd iterations; at 100 TB this step is MLlib

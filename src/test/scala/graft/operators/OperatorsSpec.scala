@@ -391,6 +391,22 @@ class OperatorsSpec extends SparkSpec {
     assert(agg == win && agg.size == 4 * 7)
   }
 
+  test("int8 quantized ANN: quantization bounds, self found, high recall vs float brute force") {
+    import spark.implicits._
+    // quantization is clamp(floor(v*127)) — exact and bounded
+    val q = Ann.quantizeInt8(Array(0.5f, -0.5f, 1.5f, -1.5f, 0.0f))
+    assert(q.toSeq == Seq[Byte](63, -64, 127, -127, 0))
+    assert(Ann.dotInt8(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6)) == 4 + 10 + 18)
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+    val brute = Ann.bruteForceTopK(spark, emb, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0))
+    val int8 = Ann.int8TopK(spark, emb, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0))
+    assert(int8.head == 0L) // self-similarity still tops the quantized list
+    assert(brute.count(int8.toSet.contains) >= 7, s"int8=${int8.toSeq} brute=${brute.toSeq}")
+  }
+
   test("Aggregator top-k returns exactly the window top-k rows") {
     val mentions = Mentions.scan(spark, Tables.pages(spark, sfDir), graft.model.Dict.surfaces)
     val cands = Linking.candidates(spark, mentions, graft.model.Dict.aliases)
