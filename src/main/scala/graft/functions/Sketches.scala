@@ -8,16 +8,23 @@ package graft.functions
   */
 object Sketches {
 
+  // All sketch tokenizers lowercase with Locale.ROOT: the default-locale
+  // String.toLowerCase is locale-SENSITIVE (a Turkish default locale maps
+  // I→ı), which would silently diverge from the DuckDB oracle's
+  // locale-independent lower() and break the q27/q58 hash gates on a
+  // differently-configured JVM. ROOT pins ASCII casing on every host.
+  private val Root = java.util.Locale.ROOT
+
   /** Character n-gram shingles of the whitespace-normalized, lowercased text. */
   def shingles(text: String, n: Int): Set[String] = {
-    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val norm = text.toLowerCase(Root).replaceAll("\\s+", " ").trim
     if (norm.length < n) if (norm.isEmpty) Set.empty else Set(norm)
     else (0 to norm.length - n).map(i => norm.substring(i, i + n)).toSet
   }
 
   /** Word n-gram shingles. */
   def wordShingles(text: String, n: Int): Set[String] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(Root).split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) toks.toSet
     else toks.sliding(n).map(_.mkString(" ")).toSet
   }
@@ -92,7 +99,7 @@ object Sketches {
 
   /** 64-bit SimHash over word features. */
   def simHash(text: String): Long = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(Root).split("\\s+").filter(_.nonEmpty)
     if (toks.isEmpty) return 0L
     val acc = new Array[Int](64)
     toks.foreach { t =>
@@ -143,7 +150,7 @@ object Sketches {
     * oracle would drop a 0-sketch doc from its word CTE).
     */
   def simHash48(text: String): Long = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(Root).split("\\s+").filter(_.nonEmpty)
     if (toks.isEmpty) return 0L
     val acc = new Array[Int](48)
     toks.foreach { t =>

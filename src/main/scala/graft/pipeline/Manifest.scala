@@ -107,8 +107,11 @@ object Manifest {
     * two JVMs appending to the same manifest in the same millisecond collide
     * only if their random nonces also match (1/1024 per ms, vs certain
     * before), so row_number's run_seq tiebreak can't silently pick a
-    * superseded 'ok' row over a newer 'orphaned' one. millis < 2^41 keeps
-    * the shifted value positive through 2109.
+    * superseded 'ok' row over a newer 'orphaned' one. Positivity of the
+    * shifted value needs millis < 2^43 — epoch millis stay below that until
+    * ~2248. The 10-bit counter wraps after 1024 appends within one
+    * millisecond from one JVM, where same-JVM collisions would return; at
+    * one manifest append per STAGE run that rate is unreachable.
     */
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0)
   private val jvmNonce: Long = new java.security.SecureRandom().nextInt(1024).toLong
