@@ -293,6 +293,260 @@ object Ann {
       .limit(k)
   }
 
+  // ----------------------------------------------- physical-layout variants
+  //
+  // Every probe path above prunes COMPUTE (rows scored) but still READS the
+  // whole corpus — at 100 TB the win must come from pruning IO. These
+  // operators materialize the corpus in a probe-friendly physical layout
+  // once (a write-side cost amortized over every query), after which the
+  // probe set prunes FILES at the scan:
+  //  - ivfWriteLayoutGate / ivfTopKPartitioned: embeddings partitioned by
+  //    assigned cell id → a query reads only nProbe of nCells partition
+  //    directories (partition pruning, PlanSpec-asserted).
+  //  - int8WriteLayout / int8TopKStored: the quantized vector stored as a
+  //    64 B binary column → every scan reads ~4× fewer bytes than float32.
+  //  - pqWriteLayout / pqTopKStored: 8 PQ codes stored per vector (8 B) →
+  //    ~32× fewer scan bytes, scored by ADC table lookup.
+  // Parquet partition dirs/columns stand in for Iceberg partition transforms
+  // (the KgPipeline.materializeGraph convention); the gate constants are the
+  // closed-form fnv1a family so every layout is DuckDB-reproducible from the
+  // float source.
+
+  /** Materialize embeddings physically partitioned by gate-centroid cell id:
+    * assignment is a narrow map (no shuffle — each write task writes its
+    * rows into the partition dirs it holds); the layout is deterministic
+    * from the source table, so rebuild-vs-reuse is a pure cost decision.
+    */
+  def ivfWriteLayoutGate(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCells: Int = 16
+  ): Unit = {
+    import spark.implicits._
+    val first = embeddings.select(col(vecCol)).as[Array[Float]].take(1)
+    if (first.isEmpty) return
+    val cents = spark.sparkContext.broadcast(intCentroids(first.head.length, nCells))
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = cents.value
+        it.map { case (id, v) => (id, v, rankCellsInt(milliScaled(v), cs)(0)) }
+      }
+      .toDF(idCol, vecCol, "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe-limited IVF over the cell-partitioned layout: the `cell IN
+    * (probe set)` predicate is a PARTITION filter, so the scan lists and
+    * reads only nProbe of nCells directories — corpus-fraction READ (not
+    * just scored) ≈ nProbe/nCells. Same rows as ivfTopKGate (q47's oracle
+    * gates it via identical SQL).
+    */
+  def ivfTopKPartitioned(
+      spark: SparkSession,
+      layoutPath: String,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import spark.implicits._
+    val cents = intCentroids(query.length, nCells)
+    val probe = rankCellsInt(milliScaled(query), cents).take(nProbe).toSeq
+    val q = spark.sparkContext.broadcast(query)
+    spark.read.parquet(layoutPath)
+      .filter(col("cell").isin(probe.map(Int.box): _*))
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, Sketches.scaledDot(v, q.value)) }
+      .toDF(idCol, "scaled_dot")
+      .orderBy(col("scaled_dot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Materialize the int8-quantized corpus: (id, qvec BINARY). Parquet
+    * stores the quantized vector as a 64 B byte array vs 256 B of float32 —
+    * the 4×-less-IO claim is about THIS stored column, size-ratio-asserted
+    * in AnnSpec against the float layout.
+    */
+  def int8WriteLayout(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String
+  ): Unit = {
+    import spark.implicits._
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, quantizeInt8(v)) }
+      .toDF(idCol, "qvec")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Brute-force top-k over the STORED int8 column: the scan reads the 64 B
+    * qvec, never the float vector. Rows equal int8TopK's (quantization is
+    * deterministic), so q60's closed-form SQL oracle gates this path too.
+    */
+  def int8TopKStored(
+      spark: SparkSession,
+      layoutPath: String,
+      idCol: String,
+      query: Array[Float],
+      k: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val qq = spark.sparkContext.broadcast(quantizeInt8(query))
+    spark.read.parquet(layoutPath)
+      .select(col(idCol).cast("long"), col("qvec"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val q = qq.value
+        it.map { case (id, qv) => (id, dotInt8(qv, q)) }
+      }
+      .toDF(idCol, "int8_dot")
+      .orderBy(col("int8_dot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // ------------------------------------------------- product quantization
+
+  /** Closed-form PQ codebooks on the milli scale: subspace s (of m), codeword
+    * c (of kw), component j (of dim/m) = fnv1a("pq:s:c:j") mod 2001 − 1000 —
+    * the same fnv1a family as the LSH planes / IVF centroids, so assignment
+    * and ADC scoring are exactly SQL-expressible (q62's oracle).
+    * Returns [m][kw][subDim].
+    */
+  def pqCodebooks(dim: Int, m: Int, kw: Int): Array[Array[Array[Long]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    Array.tabulate(m)(s => Array.tabulate(kw)(c =>
+      Array.tabulate(subDim)(j => math.floorMod(Sketches.fnv1a(s"pq:$s:$c:$j"), 2001L) - 1000L)))
+  }
+
+  /** Per-subspace nearest-codeword assignment of a milli-scaled vector:
+    * argmin ‖a_sub − x‖² via the same reduced score Σx² − 2·a_sub·x (the
+    * Σa² term is subspace-constant), lowest-index tiebreak. One byte per
+    * subspace — the stored representation.
+    */
+  def pqAssign(a: Array[Long], books: Array[Array[Array[Long]]]): Array[Byte] = {
+    val m = books.length
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val subDim = books(s)(0).length
+      val off = s * subDim
+      var bestC = 0
+      var bestScore = Long.MaxValue
+      var c = 0
+      while (c < books(s).length) {
+        val x = books(s)(c)
+        var sx2 = 0L; var dot = 0L
+        var j = 0
+        while (j < subDim) {
+          sx2 += x(j) * x(j)
+          if (off + j < a.length) dot += a(off + j) * x(j)
+          j += 1
+        }
+        val score = sx2 - 2 * dot
+        if (score < bestScore) { bestScore = score; bestC = c }
+        c += 1
+      }
+      out(s) = bestC.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** ADC (asymmetric distance computation) lookup table for one query:
+    * qtab[s][c] = q_sub(milli) · codeword(s, c) — m×kw Longs, built once on
+    * the driver and broadcast; per-vector scoring is then m table lookups.
+    */
+  def pqQueryTable(query: Array[Float], books: Array[Array[Array[Long]]]): Array[Array[Long]] = {
+    val qm = milliScaled(query)
+    books.zipWithIndex.map { case (book, s) =>
+      val subDim = book(0).length
+      val off = s * subDim
+      book.map { x =>
+        var dot = 0L
+        var j = 0
+        while (j < subDim) {
+          if (off + j < qm.length) dot += qm(off + j) * x(j)
+          j += 1
+        }
+        dot
+      }
+    }
+  }
+
+  /** Materialize PQ codes: (id, codes BINARY of m bytes) — 8 B per vector at
+    * the defaults vs 256 B float32, a ~32× scan-IO reduction for query-time
+    * scoring (assignment cost is paid once at write).
+    */
+  def pqWriteLayout(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      m: Int = 8,
+      kw: Int = 16
+  ): Unit = {
+    import spark.implicits._
+    val first = embeddings.select(col(vecCol)).as[Array[Float]].take(1)
+    if (first.isEmpty) return
+    val books = spark.sparkContext.broadcast(pqCodebooks(first.head.length, m, kw))
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val b = books.value
+        it.map { case (id, v) => (id, pqAssign(milliScaled(v), b)) }
+      }
+      .toDF(idCol, "codes")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** PQ top-k over STORED codes: scan reads m bytes per vector, score =
+    * Σ_s qtab[s][codes[s]] (approximate dot — recall-vs-brute spec-gated;
+    * the assignment+ADC arithmetic itself is exact and oracle-gated by q62).
+    */
+  def pqTopKStored(
+      spark: SparkSession,
+      layoutPath: String,
+      idCol: String,
+      query: Array[Float],
+      k: Int,
+      m: Int = 8,
+      kw: Int = 16
+  ): DataFrame = {
+    import spark.implicits._
+    val books = pqCodebooks(query.length, m, kw)
+    val qtab = spark.sparkContext.broadcast(pqQueryTable(query, books))
+    spark.read.parquet(layoutPath)
+      .select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val t = qtab.value
+        it.map { case (id, codes) =>
+          var score = 0L
+          var s = 0
+          while (s < codes.length) { score += t(s)(codes(s) & 0xff); s += 1 }
+          (id, score)
+        }
+      }
+      .toDF(idCol, "pq_dot")
+      .orderBy(col("pq_dot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Scalar (int8) quantization — the memory/IO lever at 100 TB: a 64-dim
     * float32 vector is 256 B; quantized it's 64 B, so a scan reads 4× less
     * and the hot set fits 4× more vectors per executor. q_i =
@@ -479,6 +733,82 @@ object Ann {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[ScoredId]]()
     def outputEncoder: org.apache.spark.sql.Encoder[Seq[ScoredId]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+  }
+
+  /** One query's results out of the multi-query aggregator. */
+  final case class QueryHits(query_id: Long, hits: Seq[ScoredId])
+
+  /** Score-inside-combine batched ANN: ONE typed Aggregator whose buffer is
+    * M bounded top-k lists, scoring every (corpus row, query) pair INSIDE
+    * `reduce` — the M× row amplification of the flatMap-then-aggregate form
+    * disappears (the M scores per corpus row live only as loop state, never
+    * as materialized/encoded rows). Compute is the same M·N dots; what
+    * changes is that the aggregation input is the corpus itself (N rows) and
+    * the only shuffled bytes are the per-partition buffers (≤ M·k ScoredIds
+    * each). The query batch is serialized with the aggregator — fine for
+    * dashboard-scale M (it's one copy per TASK, not per row); a
+    * million-query batch would switch to a broadcast handle, same shape.
+    */
+  class MultiQueryTopK(queries: Array[(Long, Array[Float])], k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Array[Float]), Array[List[ScoredId]], Seq[QueryHits]] {
+    private def better(a: ScoredId, b: ScoredId): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def insert(buf: List[ScoredId], v: ScoredId): List[ScoredId] = {
+      val (pre, post) = buf.span(b => better(b, v))
+      val merged = pre ::: v :: post
+      if (merged.length > k) merged.take(k) else merged
+    }
+    def zero: Array[List[ScoredId]] = Array.fill(queries.length)(Nil)
+    def reduce(buf: Array[List[ScoredId]], row: (Long, Array[Float])): Array[List[ScoredId]] = {
+      val (id, v) = row
+      var m = 0
+      while (m < queries.length) {
+        // cheap reject: a full buffer whose tail beats the new score skips
+        // the insert entirely (the common case once the heap warms up)
+        val s = Sketches.scaledDot(v, queries(m)._2)
+        val b = buf(m)
+        if (b.length < k || better(ScoredId(id, s), b.last)) buf(m) = insert(b, ScoredId(id, s))
+        m += 1
+      }
+      buf
+    }
+    def merge(a: Array[List[ScoredId]], b: Array[List[ScoredId]]): Array[List[ScoredId]] =
+      Array.tabulate(queries.length)(m => b(m).foldLeft(a(m))(insert))
+    def finish(buf: Array[List[ScoredId]]): Seq[QueryHits] =
+      queries.indices.map(m => QueryHits(queries(m)._1, buf(m)))
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[List[ScoredId]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[List[ScoredId]]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[QueryHits]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[QueryHits]]()
+  }
+
+  /** Batched multi-query exact top-k in one corpus pass with NO M×
+    * intermediate rows (see MultiQueryTopK). Output: (query_id, idCol,
+    * scaled_dot, rank) — identical rows to the flatMap + per-group window
+    * form, proven equal in AnnSpec.
+    */
+  def multiQueryTopK(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val agg = new MultiQueryTopK(queries, k)
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .select(agg.toColumn)
+      .flatMap(identity(_))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(
+        col("query_id"),
+        col("hit.id").as(idCol),
+        col("hit.score").as("scaled_dot"),
+        (col("rank0") + 1).cast("bigint").as("rank"))
   }
 
   /** Aggregator-based top-k per group: identical rows/columns to

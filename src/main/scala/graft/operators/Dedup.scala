@@ -228,36 +228,76 @@ object Dedup {
     * Scale shape: every shuffle in every iteration moves two-Long rows
     * (node, candidate-parent) — never document payloads (PlanSpec-asserted).
     * `localCheckpoint` truncates the per-iteration lineage so plan size
-    * stays constant across rounds. Convergence here is an exact symmetric
-    * except-check (cheap at candidate-pair cardinality, which is ≪ corpus);
-    * at 100 TB swap it for the paper's changed-row accumulator.
+    * stays constant across rounds.
+    *
+    * Convergence (the Kiveris changed-row counter, adapted to exactness):
+    * the per-round check is ONE tiny aggregate over the just-checkpointed
+    * edge set — an order-independent signature (count, xor of xxhash64,
+    * bounded hash sum) compared to the previous round's. Equal sets always
+    * produce equal signatures, so the exact (shuffle-heavy) `except` check
+    * runs ONCE, when the signature first repeats, to confirm the fixpoint —
+    * a signature collision between distinct sets merely costs one extra
+    * except that says "keep going", never a wrong answer. Per-round jobs
+    * drop from 3 (checkpoint + count + except) to 2 (checkpoint + tiny agg
+    * over block-manager-resident two-Long rows), and the except's
+    * double-shuffle leaves the loop entirely.
     *
     * Returns (id, component) for every node appearing in `pairs`, where
     * component = min id of the connected component (so the component id IS
     * the min-id survivor). Component centers map to themselves.
     */
-  def components(spark: SparkSession, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def components(spark: SparkSession, pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    componentsWithStatus(spark, pairs, maxIters)._1
+
+  /** `components` with the convergence flag exposed: past `maxIters` the
+    * current labels are RETURNED (flag false, warning logged) rather than
+    * the job killed — on a pathological graph a 100 TB run degrades to
+    * approximate labels a caller can quarantine, instead of discarding
+    * maxIters rounds of cluster work at the finish line.
+    */
+  def componentsWithStatus(
+      spark: SparkSession,
+      pairs: DataFrame,
+      maxIters: Int = 20
+  ): (DataFrame, Boolean) = {
     val init = pairs
       .select(col(pairs.columns(0)).cast("long").as("u"), col(pairs.columns(1)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    if (init.isEmpty) return init.select(col("u").as("id"), col("v").as("component"))
+    if (init.isEmpty) return (init.select(col("u").as("id"), col("v").as("component")), true)
+    // order-independent set signature; hash sum bounded to 31 bits/row so the
+    // Long sum cannot overflow (ANSI mode would throw) below ~2^31 edges
+    def signature(df: DataFrame): (Long, Long, Long) = {
+      val h = xxhash64(col("u"), col("v"))
+      val r = df.select(
+        count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))"),
+        sum(shiftrightunsigned(h, 33))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
     var e = init.localCheckpoint(true)
+    var sig = signature(e)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // both sides are distinct() sets, so equal counts + one-way empty
-      // difference ⇒ set equality (halves the convergence-check shuffles)
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      val nextSig = signature(next)
+      // signature repeat ⇒ run the exact confirmation (once, at fixpoint)
+      if (nextSig == sig) converged = next.except(e).isEmpty
+      sig = nextSig
       e = next
       it += 1
     }
-    require(converged, s"components did not converge in $maxIters star rounds")
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components did not converge in $maxIters star rounds; returning current labels")
     // at fixpoint edges form stars (node → component min); add the centers
-    e.select(col("u").as("id"), col("v").as("component"))
+    val labels = e.select(col("u").as("id"), col("v").as("component"))
       .unionByName(e.select(col("v").as("id"), col("v").as("component")).distinct())
       .distinct()
+    (labels, converged)
   }
 
   /** Cluster-resolved dedup: every doc gets its cluster id (= min doc id of

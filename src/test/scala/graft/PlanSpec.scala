@@ -227,6 +227,20 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, Final}
     assert(aggs.exists(_.aggregateExpressions.exists(_.mode == Partial)), initialPlan(df).toString)
     assert(aggs.exists(_.aggregateExpressions.exists(_.mode == Final)), initialPlan(df).toString)
+    // no M× intermediate: scoring happens INSIDE the aggregator's combine,
+    // so nothing below the partial aggregate may amplify rows — the partial
+    // agg's input subtree must contain no explode/flatMap-style operator
+    // (the explode of the ≤M×k result sits ABOVE the final agg, which is fine)
+    val partial = aggs.filter(_.aggregateExpressions.exists(_.mode == Partial))
+    assert(partial.nonEmpty)
+    partial.foreach { p =>
+      val amplifiers = p.child.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+        case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+        case f: org.apache.spark.sql.execution.FlatMapGroupsInRExec => f
+      }
+      assert(amplifiers.isEmpty, s"row-amplifying op below the partial agg: $amplifiers")
+    }
   }
 
   test("embedding link scoring: entity vectors broadcast; scoring stays native (scaled_dot_fast)") {
@@ -250,5 +264,34 @@ class PlanSpec extends SparkSpec {
       val carried = j.output.map(_.dataType.simpleString)
       assert(!carried.exists(_.contains("array")), s"vectors ride the pair join: $carried")
     }
+  }
+
+  test("q61: IVF probe prunes PARTITIONS at the scan — the layout is read nProbe/nCells, not fully") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import spark.implicits._
+    val df = Queries.q61AnnIvfPart(spark, sfDir) // builds the layout on first use
+    df.collect()
+    // the cell predicate must be a PARTITION filter on the scan (pruned at
+    // file listing), not a post-scan data filter
+    val scans = initialPlan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, initialPlan(df).toString)
+    assert(scans.head.partitionFilters.nonEmpty, "cell IN (...) is not a partition filter")
+    assert(scans.head.partitionFilters.mkString(",").contains("cell"),
+      scans.head.partitionFilters.mkString(","))
+    // runtime proof: the files the pruned read touches are a strict subset
+    // of the layout's files, bounded by the probed cells
+    val layout = spark.read.parquet(Queries.layoutPath("ivfcells", sfDir))
+    val qv = Tables.read(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+    val probe = operators.Ann
+      .rankCellsInt(operators.Ann.milliScaled(qv), operators.Ann.intCentroids(qv.length, 16))
+      .take(4).toSeq
+    val filesAll = layout.select(input_file_name()).distinct().count()
+    val filesPruned = layout.filter(col("cell").isin(probe.map(Int.box): _*))
+      .select(input_file_name()).distinct().count()
+    assert(filesPruned > 0 && filesPruned < filesAll,
+      s"no file pruning: pruned=$filesPruned all=$filesAll")
   }
 }

@@ -457,4 +457,100 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.nonEmpty)
     assert(frames.forall(_.getAs[Int]("frame_idx") % 4 == 0))
   }
+
+  test("multiQueryTopK (score-inside-combine) == flatMap + window form, row for row") {
+    import spark.implicits._
+    import graft.functions.Sketches
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qB = spark.sparkContext.broadcast(queries)
+    val scored = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) => qB.value.map { case (q, qv) => (q, id, Sketches.scaledDot(v, qv)) } }
+      .toDF("query_id", "vec_id", "scaled_dot")
+    val win = Ann.topKPerGroup(scored, "query_id", "scaled_dot", "vec_id", 7)
+      .select(col("query_id"), col("vec_id"), col("scaled_dot"), col("rank").cast("long"))
+      .collect().map(_.toSeq).toSet
+    val fused = Ann.multiQueryTopK(spark, emb, "vec_id", "embedding", queries, 7)
+      .collect().map(_.toSeq).toSet
+    assert(fused == win && fused.size == 4 * 7)
+  }
+
+  test("stored int8 layout: same rows as read-time quantization; on-disk bytes ≥3× smaller than float") {
+    import spark.implicits._
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_int8_spec").toString
+    Ann.int8WriteLayout(spark, emb, "vec_id", "embedding", s"$tmp/int8")
+    // float comparison table with the SAME columns-minus-quantization, so the
+    // size ratio isolates the quantized column (the source table carries an
+    // extra label column that would inflate the ratio in our favor)
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/float")
+    def bytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val ratio = bytes(s"$tmp/float").toDouble / bytes(s"$tmp/int8")
+    assert(ratio >= 3.0, s"int8 layout only ${ratio}x smaller than float32")
+    val stored = Ann.int8TopKStored(spark, s"$tmp/int8", "vec_id", qv, 10)
+      .collect().map(_.toSeq).toSeq
+    val onTheFly = Ann.int8TopK(spark, emb, "vec_id", "embedding", qv, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == onTheFly && stored.nonEmpty)
+  }
+
+  test("IVF cell-partitioned layout: partitioned probe == unpartitioned gate, row for row") {
+    import spark.implicits._
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Ann.ivfWriteLayoutGate(spark, emb, "vec_id", "embedding", s"$tmp/cells", nCells = 16)
+    val part = Ann.ivfTopKPartitioned(spark, s"$tmp/cells", "vec_id", "embedding", qv, 20, 16, 4)
+      .collect().map(_.toSeq).toSeq
+    val gate = Ann.ivfTopKGate(spark, emb, "vec_id", "embedding", qv, 20, 16, 4)
+      .collect().map(_.toSeq).toSeq
+    assert(part == gate && part.nonEmpty)
+  }
+
+  test("PQ ANN: stored-code ADC == driver-side recompute; self found; recall vs brute non-trivial") {
+    import spark.implicits._
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_spec").toString
+    Ann.pqWriteLayout(spark, emb, "vec_id", "embedding", s"$tmp/codes", m = 8, kw = 16)
+    val stored = Ann.pqTopKStored(spark, s"$tmp/codes", "vec_id", qv, 20, 8, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactness of the machinery: recompute assignment + ADC on the driver
+    // from the float source and reproduce every (id, score) pair
+    val books = Ann.pqCodebooks(qv.length, 8, 16)
+    val qtab = Ann.pqQueryTable(qv, books)
+    val all = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val local = all.map { case (id, v) =>
+      val codes = Ann.pqAssign(Ann.milliScaled(v), books)
+      (id, codes.zipWithIndex.map { case (c, s) => qtab(s)(c & 0xff) }.sum)
+    }.sortBy { case (id, sc) => (-sc, id) }.take(20).toSeq
+    assert(stored.toSeq == local)
+    // retrieval quality: approximate, but must beat chance by a wide margin
+    val brute = Ann.bruteForceTopK(spark, emb, "vec_id", "embedding", qv, 20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = stored.count(h => brute.contains(h._1))
+    assert(recall >= 5, s"PQ recall@20 vs brute = $recall/20")
+  }
+
+  test("componentsWithStatus: degrades past maxIters (labels + false flag), converges exactly otherwise") {
+    import spark.implicits._
+    // a length-32 chain needs several star rounds; maxIters=1 cannot finish
+    val chain = (1L until 32L).map(d => (d - 1, d)).toDF("id1", "id2")
+    val (labels, converged) = Dedup.componentsWithStatus(spark, chain, maxIters = 1)
+    assert(!converged)
+    assert(labels.count() > 0) // degraded labels returned, job not killed
+    val (labels2, converged2) = Dedup.componentsWithStatus(spark, chain, maxIters = 20)
+    assert(converged2)
+    val m = labels2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 32L).forall(m(_) == 0L))
+  }
 }
