@@ -277,12 +277,16 @@ object Dedup {
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    var e = init.localCheckpoint(true)
+    // LAZY localCheckpoint + the signature aggregate as its materializing
+    // action: one job per round computes the stars, caches the blocks,
+    // truncates the lineage AND returns the convergence signature — there is
+    // no separate checkpoint/count/except job left in the loop at all
+    var e = init.localCheckpoint(false)
     var sig = signature(e)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
       // signature repeat ⇒ run the exact confirmation (once, at fixpoint)
       if (nextSig == sig) converged = next.except(e).isEmpty

@@ -197,21 +197,16 @@ object KgPipeline {
   }
 
   /** North-star materialize: the deduped triples as partitioned nodes/edges
-    * tables. Parquet + an explicit hash-bucket partition column stand in
-    * for Iceberg's bucket transform (no Iceberg runtime jar in this
-    * sandbox — on a cluster this becomes `writeTo(...).using("iceberg")
-    * .partitionedBy(bucket(N, col))`, same layout semantics). Edges bucket
-    * on subj so one node's out-edges co-locate (adjacency scans read one
-    * bucket); nodes bucket on the node key.
+    * tables, written through the table-format seam (Tables.format — Parquet
+    * hash buckets here, Iceberg's bucket transform in production with no
+    * call-site change). Edges bucket on subj so one node's out-edges
+    * co-locate (adjacency scans read one bucket); nodes bucket on the node
+    * key.
     */
   def materializeGraph(triples: DataFrame, outPath: String, buckets: Int = 16): Unit = {
     import graft.sources.Tables
-    val edges = triples.withColumn(
-      "bucket", pmod(xxhash64(col("subj")), lit(buckets)))
-    Tables.write(edges, s"$outPath/edges", Seq("bucket"))
-    val nodes = nodeTable(triples).withColumn(
-      "bucket", pmod(xxhash64(col("node")), lit(buckets)))
-    Tables.write(nodes, s"$outPath/nodes", Seq("bucket"))
+    Tables.format.writeBucketed(triples, s"$outPath/edges", col("subj"), buckets)
+    Tables.format.writeBucketed(nodeTable(triples), s"$outPath/nodes", col("node"), buckets)
   }
 
   /** Resumable form of the full pipeline (north_rule: checkpoint/resume with

@@ -26,8 +26,12 @@ object Manifest {
   val schemaCols: Seq[String] =
     Seq("stage", "part_key", "input_fingerprint", "rows_in", "rows_out", "wall_ms", "status", "run_seq")
 
+  /** Stage partition key = the table seam's bucket transform (ONE bucket
+    * function across the engine — resumable stage outputs and the graph
+    * tables agree on assignment; on Iceberg this is bucket(nParts, url)).
+    */
   def partKey(urlCol: org.apache.spark.sql.Column, nParts: Int): org.apache.spark.sql.Column =
-    pmod(xxhash64(urlCol), lit(nParts.toLong))
+    graft.sources.Tables.format.bucket(urlCol, nParts)
 
   /** Order-independent fingerprint of a partition's input rows: bitwise XOR
     * of per-row 64-bit hashes — commutative (stable under any scan order) and
@@ -171,18 +175,19 @@ object Manifest {
     if (orphans.nonEmpty) {
       orphans.foreach(deletePartitionDir(spark, outPath, _))
       import spark.implicits._
-      orphans.toSeq.toDF("part_key")
-        .select(
-          lit(stage).as("stage"),
-          col("part_key").cast("long"),
-          lit(null).cast("long").as("input_fingerprint"),
-          lit(0L).as("rows_in"),
-          lit(0L).as("rows_out"),
-          lit(0L).as("wall_ms"),
-          lit("orphaned").as("status"),
-          lit(runSeq).as("run_seq")
-        )
-        .write.mode("append").parquet(manifestPath)
+      graft.sources.Tables.format.append(
+        orphans.toSeq.toDF("part_key")
+          .select(
+            lit(stage).as("stage"),
+            col("part_key").cast("long"),
+            lit(null).cast("long").as("input_fingerprint"),
+            lit(0L).as("rows_in"),
+            lit(0L).as("rows_out"),
+            lit(0L).as("wall_ms"),
+            lit("orphaned").as("status"),
+            lit(runSeq).as("run_seq")
+          ),
+        manifestPath)
     }
 
     val pending = pendingParts(spark, input, urlCol, nParts, manifestPath, stage)
@@ -203,8 +208,7 @@ object Manifest {
       if (out.columns.contains("part_key")) out
       else out.withColumn("part_key", partKey(col(urlCol), nParts))
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    withKey.write.mode("overwrite").partitionBy("part_key").parquet(outPath)
+    graft.sources.Tables.format.overwritePartitions(withKey, outPath, "part_key")
 
     // read-back row counts; when every recompute was empty there are no
     // partition dirs left to read (schema inference would fail on the bare
@@ -232,7 +236,7 @@ object Manifest {
         lit("ok").as("status"),
         lit(runSeq).as("run_seq")
       )
-    manifestRows.write.mode("append").parquet(manifestPath)
+    graft.sources.Tables.format.append(manifestRows, manifestPath)
     keys.size.toLong
   }
 }

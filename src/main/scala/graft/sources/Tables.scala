@@ -1,17 +1,67 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Page
 import graft.text.HtmlCodec
 
-/** Thin IO layer abstracting the table format (SURVEY.md §7.0): Parquet in
-  * this sandbox, Iceberg-by-config in production — both go through the same
-  * DataFrameReader/Writer path, so swapping `format` + catalog conf is the
-  * only production delta. Keeps every read channel in one place so scans
-  * stay pruned/pushed (verify via `.explain`: PushedFilters + ReadSchema).
+/** The table-FORMAT seam (SURVEY.md §7.0): every writer shape the engine
+  * needs — bucketed layout, dynamic partition overwrite, append — behind one
+  * interface, so the physical format is chosen in exactly one place. The
+  * sandbox binds Parquet (hash-bucket partition columns standing in for
+  * Iceberg's bucket transform); an Iceberg deployment swaps the binding for
+  * `df.writeTo(table).partitionedBy(bucket(n, col))` / `overwritePartitions`
+  * / `append` plus catalog conf — no call site (KgPipeline.materializeGraph,
+  * Manifest.runStage) changes.
+  */
+trait TableFormat {
+  /** The bucket transform: Iceberg's bucket(n, x) stand-in. ONE definition
+    * so every bucketed layout — graph node/edge tables, resumable stage
+    * outputs — agrees on the assignment function.
+    */
+  def bucket(c: Column, n: Int): Column
+
+  /** Write `df` with an explicit bucket partition column derived from
+    * `bucketCol` (a full-table layout build; overwrite semantics).
+    */
+  def writeBucketed(df: DataFrame, path: String, bucketCol: Column, n: Int,
+      bucketName: String = "bucket"): Unit
+
+  /** Overwrite ONLY the partitions present in `df` (the resumable-stage
+    * write): Iceberg's overwritePartitions, dynamic partitionOverwriteMode
+    * on Parquet.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partCol: String): Unit
+
+  /** Append rows (the manifest log write; an Iceberg table append). */
+  def append(df: DataFrame, path: String): Unit
+}
+
+object ParquetFormat extends TableFormat {
+  def bucket(c: Column, n: Int): Column = pmod(xxhash64(c), lit(n.toLong))
+
+  def writeBucketed(df: DataFrame, path: String, bucketCol: Column, n: Int,
+      bucketName: String = "bucket"): Unit =
+    df.withColumn(bucketName, bucket(bucketCol, n))
+      .write.mode("overwrite").partitionBy(bucketName).parquet(path)
+
+  def overwritePartitions(df: DataFrame, path: String, partCol: String): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+  }
+
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+}
+
+/** Thin IO layer for the named input tables. Keeps every read channel in
+  * one place so scans stay pruned/pushed (verify via `.explain`:
+  * PushedFilters + ReadSchema).
   */
 object Tables {
+
+  /** The process-wide format binding (Parquet here; Iceberg in production). */
+  val format: TableFormat = ParquetFormat
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
