@@ -283,7 +283,15 @@ object Bench {
       math.abs(s._2 - 1.0) <= 0.10 && s._3 <= 1.15 && s._4 <= 1.25
     val pairBuf = scala.collection.mutable.ArrayBuffer.empty[(Sample, Sample)]
     def cleanPairs = pairBuf.map { case (lo, hi) => pairStat(lo, hi) }.filter(isClean)
-    while (pairBuf.length < nPairs || (cleanPairs.isEmpty && pairBuf.length < maxPairs)) {
+    // extension is WALL-CLOCK bounded as well as pair-bounded: a hostile
+    // host phase must not stretch the scaling section past the harness's
+    // patience — better a no_clean_window artifact than a killed run with
+    // no artifact at all
+    val scaleBudgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "900").toDouble
+    val scaleT0 = System.nanoTime()
+    def scaleElapsed = (System.nanoTime() - scaleT0) / 1e9
+    while (pairBuf.length < nPairs ||
+        (cleanPairs.isEmpty && pairBuf.length < maxPairs && scaleElapsed < scaleBudgetSec)) {
       val lo = sessionRun(coresLow, sfDir, rep)
       val hi = sessionRun(coresHigh, sfDir, rep)
       pairBuf += ((lo, hi))
