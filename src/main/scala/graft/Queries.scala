@@ -1598,6 +1598,22 @@ object Queries {
 
   def q61Sql: String = q47Sql
 
+  /** LSH over the bucket-PARTITIONED layout: the q61 pattern applied to the
+    * hyperplane family — same probe set and scores as q37 (oracle is q37's
+    * SQL verbatim), with the Hamming≤1 multiprobe set pruning partition
+    * directories: 6 of 32 buckets read.
+    */
+  def q63AnnLshPart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
+    val path = ensureLayout(layoutPath("lshbuckets", dir))(
+      Ann.lshWriteLayoutGate(s, emb, "vec_id", "embedding", layoutPath("lshbuckets", dir), nPlanes = 5))
+    Ann.lshTopKPartitioned(s, path, "vec_id", "embedding", query, k = 20, nPlanes = 5)
+  }
+
+  def q63Sql: String = q37Sql
+
   /** Product-quantization ANN over STORED codes: 8 subspaces × 16 closed-form
     * fnv1a codewords; assignment at write time (8 B/vector stored), query
     * scoring = ADC table lookups. The oracle reproduces assignment + ADC
@@ -1706,7 +1722,8 @@ object Queries {
     "q59_url_canon" -> ((q59UrlCanon _, q59Sql)),
     "q60_ann_int8" -> ((q60AnnInt8 _, q60Sql)),
     "q61_ann_ivf_part" -> ((q61AnnIvfPart _, q61Sql)),
-    "q62_ann_pq" -> ((q62AnnPq _, q62Sql))
+    "q62_ann_pq" -> ((q62AnnPq _, q62Sql)),
+    "q63_ann_lsh_part" -> ((q63AnnLshPart _, q63Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

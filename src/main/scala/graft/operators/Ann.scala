@@ -370,6 +370,63 @@ object Ann {
       .limit(k)
   }
 
+  /** Materialize embeddings physically partitioned by LSH bucket (the full
+    * integer-plane signature, 0..2^nPlanes−1) — the LSH twin of
+    * ivfWriteLayoutGate: assignment is a narrow map at write time, and the
+    * Hamming≤1 multiprobe set becomes a partition filter at query time.
+    */
+  def lshWriteLayoutGate(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nPlanes: Int = 5
+  ): Unit = {
+    import spark.implicits._
+    val first = embeddings.select(col(vecCol)).as[Array[Float]].take(1)
+    if (first.isEmpty) return
+    val planes = spark.sparkContext.broadcast(intPlanes(first.head.length, nPlanes))
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val pl = planes.value
+        it.map { case (id, v) => (id, v, signBitsInt(milliScaled(v), pl)) }
+      }
+      .toDF(idCol, vecCol, "bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Probe-limited LSH over the bucket-partitioned layout: the query's
+    * Hamming≤1 probe set (nPlanes+1 of 2^nPlanes buckets) prunes partition
+    * directories at the scan — same rows as lshTopKGate (q37's oracle gates
+    * it via identical SQL), but the corpus fraction READ ≈ (nPlanes+1)/2^nPlanes.
+    */
+  def lshTopKPartitioned(
+      spark: SparkSession,
+      layoutPath: String,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      nPlanes: Int = 5
+  ): DataFrame = {
+    import spark.implicits._
+    val planes = intPlanes(query.length, nPlanes)
+    val qSig = signBitsInt(milliScaled(query), planes)
+    val probes = (qSig +: (0 until nPlanes).map(b => qSig ^ (1L << b))).distinct
+    val q = spark.sparkContext.broadcast(query)
+    spark.read.parquet(layoutPath)
+      .filter(col("bucket").isin(probes.map(Long.box): _*))
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, Sketches.scaledDot(v, q.value)) }
+      .toDF(idCol, "scaled_dot")
+      .orderBy(col("scaled_dot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Materialize the int8-quantized corpus: (id, qvec BINARY). Parquet
     * stores the quantized vector as a 64 B byte array vs 256 B of float32 —
     * the 4×-less-IO claim is about THIS stored column, size-ratio-asserted

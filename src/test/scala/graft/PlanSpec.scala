@@ -294,4 +294,16 @@ class PlanSpec extends SparkSpec {
     assert(filesPruned > 0 && filesPruned < filesAll,
       s"no file pruning: pruned=$filesPruned all=$filesAll")
   }
+
+  test("q63: LSH multiprobe set is a partition filter on the bucket layout") {
+    val df = Queries.q63AnnLshPart(spark, sfDir)
+    df.collect()
+    val scans = initialPlan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, initialPlan(df).toString)
+    assert(scans.head.partitionFilters.nonEmpty &&
+      scans.head.partitionFilters.mkString(",").contains("bucket"),
+      scans.head.partitionFilters.mkString(","))
+  }
 }

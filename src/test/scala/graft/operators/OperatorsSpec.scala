@@ -515,6 +515,19 @@ class OperatorsSpec extends SparkSpec {
     assert(part == gate && part.nonEmpty)
   }
 
+  test("LSH bucket-partitioned layout: partitioned probe == unpartitioned gate, row for row") {
+    import spark.implicits._
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_spec").toString
+    Ann.lshWriteLayoutGate(spark, emb, "vec_id", "embedding", s"$tmp/buckets", nPlanes = 5)
+    val part = Ann.lshTopKPartitioned(spark, s"$tmp/buckets", "vec_id", "embedding", qv, 20, 5)
+      .collect().map(_.toSeq).toSeq
+    val gate = Ann.lshTopKGate(spark, emb, "vec_id", "embedding", qv, 20, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(part == gate && part.nonEmpty)
+  }
+
   test("PQ ANN: stored-code ADC == driver-side recompute; self found; recall vs brute non-trivial") {
     import spark.implicits._
     val emb = Tables.read(spark, sfDir, "embeddings")
