@@ -264,7 +264,6 @@ object Dedup {
       .select(col(pairs.columns(0)).cast("long").as("u"), col(pairs.columns(1)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    if (init.isEmpty) return (init.select(col("u").as("id"), col("v").as("component")), true)
     // order-independent set signature; hash sum bounded to 31 bits/row so the
     // Long sum cannot overflow (ANSI mode would throw) below ~2^31 edges
     def signature(df: DataFrame): (Long, Long, Long) = {
@@ -281,8 +280,10 @@ object Dedup {
     // action: one job per round computes the stars, caches the blocks,
     // truncates the lineage AND returns the convergence signature — there is
     // no separate checkpoint/count/except job left in the loop at all
+    // (the initial signature also doubles as the emptiness check)
     var e = init.localCheckpoint(false)
     var sig = signature(e)
+    if (sig._1 == 0) return (e.select(col("u").as("id"), col("v").as("component")), true)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -297,9 +298,11 @@ object Dedup {
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"components did not converge in $maxIters star rounds; returning current labels")
-    // at fixpoint edges form stars (node → component min); add the centers
+    // at fixpoint edges form stars (node → component min); add the centers —
+    // the outer distinct subsumes deduping the center side, so the union
+    // needs no inner distinct (one fewer exchange on the label read-out)
     val labels = e.select(col("u").as("id"), col("v").as("component"))
-      .unionByName(e.select(col("v").as("id"), col("v").as("component")).distinct())
+      .unionByName(e.select(col("v").as("id"), col("v").as("component")))
       .distinct()
     (labels, converged)
   }
