@@ -1614,6 +1614,64 @@ object Queries {
 
   def q63Sql: String = q37Sql
 
+  /** Batched IVF over the partitioned layout — q51 × q61 composed: one
+    * partition-pruned corpus pass (partition filter = union of the 8
+    * queries' probe sets) serves the whole batch; each query scores only
+    * vectors assigned to ITS probed cells (checked per row inside the
+    * aggregator combine), so every per-query result equals an independent
+    * ivfTopKGate call — which is what the oracle computes.
+    */
+  def q64AnnMultiIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val path = ensureLayout(layoutPath("ivfcells", dir))(
+      Ann.ivfWriteLayoutGate(s, emb, "vec_id", "embedding", layoutPath("ivfcells", dir), nCells = 16))
+    Ann.multiQueryIvfPartitioned(s, path, "vec_id", "embedding", queries, k = 20)
+  }
+
+  def q64Sql: String = {
+    val dim = 64; val nCells = 16; val nProbe = 4
+    val cents = Ann.intCentroids(dim, nCells)
+    val cellRows = cents.zipWithIndex.map { case (xs, c) =>
+      val sx2 = xs.map(x => x * x).sum
+      s"($c, $sx2, ${xs.mkString(", ")})"
+    }.mkString(",\n")
+    val xcols = (1 to dim).map(i => s"x$i").mkString(", ")
+    def milli(ref: String, i: Int) =
+      s"CAST(floor(CAST($ref.embedding[$i] AS DOUBLE)*1000) AS BIGINT)"
+    val cellDot = (1 to dim).map(i => s"${milli("e", i)}*x$i").mkString(" + ")
+    val qdot = (1 to dim).map(i => s"${milli("e", i)}*${milli("q", i)}").mkString(" + ")
+    s"""WITH cells(c, sx2, $xcols) AS (VALUES
+       |$cellRows),
+       |scored AS (
+       |  SELECT e.vec_id, cells.c, cells.sx2 - 2*($cellDot) AS score
+       |  FROM embeddings e CROSS JOIN cells),
+       |assigned AS (
+       |  SELECT vec_id, c FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |qcells AS (
+       |  SELECT query_id, c FROM (
+       |    SELECT vec_id AS query_id, c,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
+       |    FROM scored WHERE vec_id < 8) WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT qc.query_id, a.vec_id FROM qcells qc JOIN assigned a ON a.c = qc.c),
+       |dots AS (
+       |  SELECT cd.query_id, CAST(cd.vec_id AS BIGINT) AS vec_id, ($qdot) AS scaled_dot
+       |  FROM cand cd
+       |  JOIN embeddings e ON e.vec_id = cd.vec_id
+       |  JOIN embeddings q ON q.vec_id = cd.query_id)
+       |SELECT query_id, vec_id, scaled_dot, rank FROM (
+       |  SELECT query_id, vec_id, scaled_dot,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY scaled_dot DESC, vec_id) AS BIGINT) AS rank
+       |  FROM dots) WHERE rank <= 20""".stripMargin
+  }
+
   /** Product-quantization ANN over STORED codes: 8 subspaces × 16 closed-form
     * fnv1a codewords; assignment at write time (8 B/vector stored), query
     * scoring = ADC table lookups. The oracle reproduces assignment + ADC
@@ -1723,7 +1781,8 @@ object Queries {
     "q60_ann_int8" -> ((q60AnnInt8 _, q60Sql)),
     "q61_ann_ivf_part" -> ((q61AnnIvfPart _, q61Sql)),
     "q62_ann_pq" -> ((q62AnnPq _, q62Sql)),
-    "q63_ann_lsh_part" -> ((q63AnnLshPart _, q63Sql))
+    "q63_ann_lsh_part" -> ((q63AnnLshPart _, q63Sql)),
+    "q64_ann_multi_ivf" -> ((q64AnnMultiIvf _, q64Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -868,6 +868,85 @@ object Ann {
         (col("rank0") + 1).cast("bigint").as("rank"))
   }
 
+  /** MultiQueryTopK over a CELL-AWARE corpus row: query m scores a row only
+    * when the row's stored cell is in m's probe set — the batched form of
+    * IVF probing, so M queries share ONE partition-pruned pass (the scan
+    * reads the UNION of the probe sets; each query still scores exactly its
+    * own probed cells, which keeps the result identical to M independent
+    * ivfTopKGate calls and SQL-expressible).
+    */
+  class MultiQueryTopKCells(
+      queries: Array[(Long, Array[Float], Set[Int])], k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Array[Float], Int), Array[List[ScoredId]], Seq[QueryHits]] {
+    private def better(a: ScoredId, b: ScoredId): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def insert(buf: List[ScoredId], v: ScoredId): List[ScoredId] = {
+      val (pre, post) = buf.span(b => better(b, v))
+      val merged = pre ::: v :: post
+      if (merged.length > k) merged.take(k) else merged
+    }
+    def zero: Array[List[ScoredId]] = Array.fill(queries.length)(Nil)
+    def reduce(buf: Array[List[ScoredId]], row: (Long, Array[Float], Int)): Array[List[ScoredId]] = {
+      val (id, v, cell) = row
+      var m = 0
+      while (m < queries.length) {
+        if (queries(m)._3.contains(cell)) {
+          val s = Sketches.scaledDot(v, queries(m)._2)
+          val b = buf(m)
+          if (b.length < k || better(ScoredId(id, s), b.last)) buf(m) = insert(b, ScoredId(id, s))
+        }
+        m += 1
+      }
+      buf
+    }
+    def merge(a: Array[List[ScoredId]], b: Array[List[ScoredId]]): Array[List[ScoredId]] =
+      Array.tabulate(queries.length)(m => b(m).foldLeft(a(m))(insert))
+    def finish(buf: Array[List[ScoredId]]): Seq[QueryHits] =
+      queries.indices.map(m => QueryHits(queries(m)._1, buf(m)))
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[List[ScoredId]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[List[ScoredId]]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[QueryHits]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[QueryHits]]()
+  }
+
+  /** Batched IVF ANN over the cell-partitioned layout: the scan's partition
+    * filter is the UNION of the M queries' probe sets, scoring is
+    * per-query-cell-filtered inside the aggregator combine — one
+    * partition-pruned corpus pass serves the whole query batch, each query
+    * getting exactly its ivfTopKGate result.
+    */
+  def multiQueryIvfPartitioned(
+      spark: SparkSession,
+      layoutPath: String,
+      idCol: String,
+      vecCol: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import spark.implicits._
+    val cents = intCentroids(queries.head._2.length, nCells)
+    val qs = queries.map { case (qid, qv) =>
+      (qid, qv, rankCellsInt(milliScaled(qv), cents).take(nProbe).toSet)
+    }
+    val union = qs.flatMap(_._3).distinct.toSeq
+    val agg = new MultiQueryTopKCells(qs, k)
+    spark.read.parquet(layoutPath)
+      .filter(col("cell").isin(union.map(Int.box): _*))
+      .select(col(idCol).cast("long"), col(vecCol), col("cell").cast("int"))
+      .as[(Long, Array[Float], Int)]
+      .select(agg.toColumn)
+      .flatMap(identity(_))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(
+        col("query_id"),
+        col("hit.id").as(idCol),
+        col("hit.score").as("scaled_dot"),
+        (col("rank0") + 1).cast("bigint").as("rank"))
+  }
+
   /** Aggregator-based top-k per group: identical rows/columns to
     * topKPerGroup (groupCol, idCol, scoreCol, rank), different physical
     * shape (partial + final agg, ≤ k rows per group cross the shuffle).

@@ -528,6 +528,25 @@ class OperatorsSpec extends SparkSpec {
     assert(part == gate && part.nonEmpty)
   }
 
+  test("batched IVF over the partitioned layout == M independent ivfTopKGate calls") {
+    import spark.implicits._
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mivf_spec").toString
+    Ann.ivfWriteLayoutGate(spark, emb, "vec_id", "embedding", s"$tmp/cells", nCells = 16)
+    val batched = Ann.multiQueryIvfPartitioned(
+        spark, s"$tmp/cells", "vec_id", "embedding", queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val independent = queries.flatMap { case (qid, qv) =>
+      Ann.ivfTopKGate(spark, emb, "vec_id", "embedding", qv, 10, 16, 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), r.getLong(1), (i + 1).toLong) }
+    }.toSet
+    assert(batched == independent && batched.nonEmpty)
+  }
+
   test("PQ ANN: stored-code ADC == driver-side recompute; self found; recall vs brute non-trivial") {
     import spark.implicits._
     val emb = Tables.read(spark, sfDir, "embeddings")
