@@ -1717,6 +1717,84 @@ object Queries {
        |ORDER BY pq_dot DESC, a.vec_id LIMIT 20""".stripMargin
   }
 
+  /** Benchmark decontamination (the 8-gram-overlap rule): docs with
+    * doc_id % 100 == 0 stand in for the eval set; every train doc is
+    * flagged when it shares any 8-word gram with any eval doc. The eval
+    * gram set rides a broadcast; the corpus pass is a narrow map (zero
+    * shuffles). Because the natural corpus shares no cross-doc 8-gram
+    * (measured: zero hits), a closed-form canary phrase is planted — eval
+    * docs carry canary number (doc_id/100)%5, and train docs with
+    * doc_id%10==3 carry canary doc_id%5 — so the operator must DISCOVER the
+    * overlap (contaminated ⟺ doc_id%10==3 here) and both classes exist.
+    * The oracle reproduces the planting, tokenization (regex split), gram
+    * construction (list slice), and the overlap join in SQL.
+    */
+  def q65Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val canaried = t(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 10 === 3,
+        concat(col("text"), lit(" decontamination canary phrase number "),
+          col("doc_id") % 5, lit(" alpha beta gamma delta")))
+        .when(col("doc_id") % 100 === 0,
+          concat(col("text"), lit(" decontamination canary phrase number "),
+            col("doc_id").divide(lit(100)).cast("bigint") % 5, lit(" alpha beta gamma delta")))
+        .otherwise(col("text")).as("text"))
+    Dedup.decontaminate(canaried, "doc_id", "text", col("doc_id") % 100 === 0, n = 8)
+  }
+
+  def q65Sql: String =
+    s"""WITH dd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 3
+       |           THEN text || ' decontamination canary phrase number ' || (doc_id % 5) || ' alpha beta gamma delta'
+       |         WHEN doc_id % 100 = 0
+       |           THEN text || ' decontamination canary phrase number ' || ((doc_id // 100) % 5) || ' alpha beta gamma delta'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), p -> p <> '') AS ws
+       |  FROM dd),
+       |g AS (
+       |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+       |  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i) t),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+       |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.doc_id % 100 <> 0)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, (h.doc_id IS NOT NULL) AS contaminated
+       |FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id % 100 <> 0""".stripMargin
+
+  /** Within-doc repetition score (Gopher/MassiveText family): the share of
+    * the document occupied by its own most-repeated word 2-gram, in exact
+    * integers (max count, total grams, per-million integer-division
+    * fraction). Narrow per-row map, zero shuffles.
+    */
+  def q66Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (mx, tot) = TextAnalysis.repetitionStats(text, 2)
+        (id, mx, tot, if (tot == 0) 0L else mx * 1000000L / tot)
+      })
+      .toDF("doc_id", "max_gram_count", "total_grams", "rep_micro")
+  }
+
+  def q66Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), p -> p <> '') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+       |  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i) t),
+       |cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, max(c) AS max_gram_count, sum(c) AS total_grams FROM cnt GROUP BY 1)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |       CAST(coalesce(a.max_gram_count, 0) AS BIGINT) AS max_gram_count,
+       |       CAST(coalesce(a.total_grams, 0) AS BIGINT) AS total_grams,
+       |       CAST(CASE WHEN coalesce(a.total_grams, 0) = 0 THEN 0
+       |            ELSE a.max_gram_count * 1000000 // a.total_grams END AS BIGINT) AS rep_micro
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -1782,7 +1860,9 @@ object Queries {
     "q61_ann_ivf_part" -> ((q61AnnIvfPart _, q61Sql)),
     "q62_ann_pq" -> ((q62AnnPq _, q62Sql)),
     "q63_ann_lsh_part" -> ((q63AnnLshPart _, q63Sql)),
-    "q64_ann_multi_ivf" -> ((q64AnnMultiIvf _, q64Sql))
+    "q64_ann_multi_ivf" -> ((q64AnnMultiIvf _, q64Sql)),
+    "q65_decontaminate" -> ((q65Decontaminate _, q65Sql)),
+    "q66_repetition" -> ((q66Repetition _, q66Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

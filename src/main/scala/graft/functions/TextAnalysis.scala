@@ -158,4 +158,28 @@ object TextAnalysis {
     }
     h
   }
+
+  /** Within-document repetition score (the Gopher/MassiveText repetition
+    * family, Rae et al. 2021 §A1.1): how much of the document is its own
+    * most-repeated word `n`-gram. Returned as exact integers —
+    * (maxGramCount, totalGrams) — so the derived per-million fraction
+    * `maxGramCount * 1_000_000 / totalGrams` (integer division) is
+    * bit-stable and oracle-checkable; a doc with fewer than n words has no
+    * grams → (0, 0). Pure per-document function: the distributed form is a
+    * narrow map, zero shuffles (repetitionColumns below).
+    */
+  def repetitionStats(text: String, n: Int = 2): (Long, Long) = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return (0L, 0L)
+    val counts = new java.util.HashMap[String, Long]()
+    var max = 0L
+    var total = 0L
+    toks.sliding(n).foreach { g =>
+      val k = g.mkString(" ")
+      val c = counts.merge(k, 1L, (a, b) => a + b)
+      if (c > max) max = c
+      total += 1
+    }
+    (max, total)
+  }
 }

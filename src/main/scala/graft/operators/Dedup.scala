@@ -324,6 +324,46 @@ object Dedup {
       .withColumn("is_survivor", col(idCol) === col("cluster_id"))
   }
 
+  /** Benchmark decontamination — the step a training-data pipeline runs
+    * before anything ships to a trainer: flag every TRAIN document sharing
+    * at least one `n`-word gram with any EVAL document (the standard
+    * 8-gram-overlap rule of GPT-3/PaLM-style decontamination). Scale shape:
+    * the eval set is SMALL by definition, so its gram set is collected once
+    * and broadcast; the corpus pass is then a narrow map — zero shuffles,
+    * the binary/text column is read exactly once. (At extreme eval sizes
+    * the broadcast set becomes a Bloom filter + exact re-check join; the
+    * call-site shape is unchanged.)
+    *
+    * `isEval` partitions docs by id; output = one row per TRAIN doc:
+    * (idCol, contaminated).
+    */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isEval: org.apache.spark.sql.Column,
+      n: Int = 8
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def grams(text: String): Iterator[String] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Iterator.empty else toks.sliding(n).map(_.mkString(" "))
+    }
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"), isEval.as("ev"))
+    val evalGrams = base.filter(col("ev")).select(col("text")).as[String]
+      .flatMap(grams _).distinct().collect().toSet
+    val gramsB = spark.sparkContext.broadcast(evalGrams)
+    base.filter(!col("ev"))
+      .select(col("id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val g = gramsB.value
+        it.map { case (id, text) => (id, grams(text).exists(g.contains)) }
+      }
+      .toDF(idCol, "contaminated")
+  }
+
   /** Exact n-gram Jaccard verification over candidate pairs: joins the raw
     * text back ONLY for candidates (broadcast the candidate ids when small).
     */

@@ -573,6 +573,30 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 5, s"PQ recall@20 vs brute = $recall/20")
   }
 
+  test("decontaminate: 8-gram overlap flags exactly the planted train doc; short docs never match") {
+    import spark.implicits._
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val docs = Seq(
+      (0L, evalText),                                        // eval
+      (1L, "prefix words " + evalText),                      // train, contains an eval 8-gram
+      (2L, "alpha beta gamma delta epsilon zeta eta"),       // train, longest shared run = 7 words
+      (3L, "completely different content with many words present here"),
+      (4L, "alpha beta")                                     // shorter than one gram
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, "doc_id", "text", col("doc_id") === 0, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("repetitionStats: exact counts on repeated / distinct / short texts") {
+    import graft.functions.TextAnalysis.repetitionStats
+    assert(repetitionStats("a a a a") == ((3L, 3L)))       // all 2-grams are "a a"
+    assert(repetitionStats("w1 w2 w3 w4") == ((1L, 3L)))   // all distinct
+    assert(repetitionStats("spam ham spam ham spam") == ((2L, 4L))) // "spam ham" twice
+    assert(repetitionStats("solo") == ((0L, 0L)))
+    assert(repetitionStats("") == ((0L, 0L)))
+  }
+
   test("componentsWithStatus: degrades past maxIters (labels + false flag), converges exactly otherwise") {
     import spark.implicits._
     // a length-32 chain needs several star rounds; maxIters=1 cannot finish
