@@ -1795,6 +1795,68 @@ object Queries {
        |            ELSE a.max_gram_count * 1000000 // a.total_grams END AS BIGINT) AS rep_micro
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
 
+  /** The corpus-curation flagship — the end-to-end "prepare training data"
+    * flow a 100 TB pipeline actually ships, composed from the individually
+    * gated operators: language ID (q30) + token count (q31) + repetition
+    * score (q66) + benchmark decontamination (q65, canaried) as per-doc
+    * metrics, filtered (en, ≥30 tokens, rep < 15%, uncontaminated), then
+    * the exact-dedup min-id survivor pick (q25's digest) over the kept set.
+    * Every metric keys on doc_id, so the joins co-partition; at scale the
+    * metric columns fuse into one narrow pass and the only wide op left is
+    * the dedup aggregate, keyed on the 16-byte digest. The oracle reuses
+    * the component queries' SQL verbatim as scoped subqueries.
+    */
+  def q67CurateCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lang = q30LangId(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("lang_pred"))
+    val qual = docs.select(col("doc_id").cast("long").as("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val rep = q66Repetition(s, dir).select(col("doc_id"), col("rep_micro"))
+    val cont = q65Decontaminate(s, dir)
+    val keep = cont
+      .join(lang, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("text")), Seq("doc_id"))
+      .filter(!col("contaminated") && col("lang_pred") === "en" &&
+        col("n_tokens") >= 30 && col("rep_micro") < 150000)
+    val withFp = keep.withColumn("fp",
+      md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+    val surv = withFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    withFp.join(surv, Seq("fp", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("rep_micro"))
+  }
+
+  def q67Sql: String =
+    s"""WITH lang AS (SELECT * FROM (
+       |$q30Sql
+       |) x1),
+       |qual AS (SELECT * FROM (
+       |$q31Sql
+       |) x2),
+       |rep AS (SELECT * FROM (
+       |${q66Sql}
+       |) x3),
+       |cont AS (SELECT * FROM (
+       |${q65Sql}
+       |) x4),
+       |keep AS (
+       |  SELECT c.doc_id, l.lang_pred, q.n_tokens, r.rep_micro, d.text
+       |  FROM cont c
+       |  JOIN lang l ON l.doc_id = c.doc_id
+       |  JOIN qual q ON q.doc_id = c.doc_id
+       |  JOIN rep r ON r.doc_id = c.doc_id
+       |  JOIN documents d ON d.doc_id = c.doc_id
+       |  WHERE NOT c.contaminated AND l.lang_pred = 'en'
+       |    AND q.n_tokens >= 30 AND r.rep_micro < 150000),
+       |fps AS (
+       |  SELECT keep.*, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM keep),
+       |surv AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp)
+       |SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.lang_pred,
+       |       CAST(f.n_tokens AS BIGINT) AS n_tokens, CAST(f.rep_micro AS BIGINT) AS rep_micro
+       |FROM fps f JOIN surv s ON s.fp = f.fp AND s.doc_id = f.doc_id""".stripMargin
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -1862,7 +1924,8 @@ object Queries {
     "q63_ann_lsh_part" -> ((q63AnnLshPart _, q63Sql)),
     "q64_ann_multi_ivf" -> ((q64AnnMultiIvf _, q64Sql)),
     "q65_decontaminate" -> ((q65Decontaminate _, q65Sql)),
-    "q66_repetition" -> ((q66Repetition _, q66Sql))
+    "q66_repetition" -> ((q66Repetition _, q66Sql)),
+    "q67_curate_corpus" -> ((q67CurateCorpus _, q67Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):
