@@ -142,9 +142,11 @@ object Bench {
       "q51_ann_multi" -> (Queries.q51AnnMulti _),
       // round 4: physical-layout ANN — partition-pruned IVF + stored PQ
       // codes (the warm-in builds the layout once; timed runs measure the
-      // probe path, which is the write-once-query-many production shape)
+      // probe path, which is the write-once-query-many production shape) —
+      // and the corpus-curation flagship (metrics + filters + dedup)
       "q61_ann_ivf_part" -> (Queries.q61AnnIvfPart _),
-      "q62_ann_pq" -> (Queries.q62AnnPq _)
+      "q62_ann_pq" -> (Queries.q62AnnPq _),
+      "q67_curate_corpus" -> (Queries.q67CurateCorpus _)
     )
     val sHead = session(cpus)
     // per-query engine cost: task run time accumulated per timed window —

@@ -346,22 +346,26 @@ object Dedup {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def grams(text: String): Iterator[String] = {
-      val toks = text.split("\\s+").filter(_.nonEmpty)
-      if (toks.length < n) Iterator.empty else toks.sliding(n).map(_.mkString(" "))
-    }
     val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"), isEval.as("ev"))
     val evalGrams = base.filter(col("ev")).select(col("text")).as[String]
-      .flatMap(grams _).distinct().collect().toSet
+      .flatMap(wordGrams(_, n)).distinct().collect().toSet
     val gramsB = spark.sparkContext.broadcast(evalGrams)
     base.filter(!col("ev"))
       .select(col("id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val g = gramsB.value
-        it.map { case (id, text) => (id, grams(text).exists(g.contains)) }
+        it.map { case (id, text) => (id, wordGrams(text, n).exists(g.contains)) }
       }
       .toDF(idCol, "contaminated")
+  }
+
+  /** Word n-grams of whitespace-tokenized text; empty below n words. The
+    * shared tokenization of decontaminate and its streaming form.
+    */
+  def wordGrams(text: String, n: Int): Iterator[String] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Iterator.empty else toks.sliding(n).map(_.mkString(" "))
   }
 
   /** Exact n-gram Jaccard verification over candidate pairs: joins the raw

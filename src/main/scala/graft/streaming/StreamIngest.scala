@@ -65,6 +65,49 @@ object StreamIngest {
       .toDF()
   }
 
+  /** Streaming corpus curation: the q67 filter chain over a file-source
+    * stream of document rows. Every metric is per-row — language ID and
+    * token count are stateless Column expressions, repetition and the
+    * decontamination check are a narrow typed map against the BROADCAST
+    * eval-gram set — so the streaming plan needs no state store and batch
+    * and stream produce identical filtered rows (StreamingSpec asserts
+    * equality). The batch tail (exact-dedup survivor pick) stays batch-side:
+    * its streaming analogue is `dropDuplicates` on the digest under a
+    * watermark, which trades the min-id survivor guarantee for first-seen.
+    */
+  def streamCurate(
+      spark: SparkSession,
+      docsDir: String,
+      evalGrams: Set[String],
+      n: Int = 8
+  ): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val gramsB = spark.sparkContext.broadcast(evalGrams)
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(docsDir)
+      .select(
+        col("doc_id").cast("long"),
+        col("text"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .as[(Long, String, String, Long)]
+      .mapPartitions { it =>
+        val g = gramsB.value
+        it.map { case (id, text, lang, ntok) =>
+          val (mx, tot) = TextAnalysis.repetitionStats(text, 2)
+          val rep = if (tot == 0) 0L else mx * 1000000L / tot
+          val contaminated = graft.operators.Dedup.wordGrams(text, n).exists(g.contains)
+          (id, lang, ntok, rep, contaminated)
+        }
+      }
+      .toDF("doc_id", "lang_pred", "n_tokens", "rep_micro", "contaminated")
+      .filter(col("lang_pred") === "en" && col("n_tokens") >= 30 &&
+        col("rep_micro") < 150000 && !col("contaminated"))
+      .drop("contaminated")
+  }
+
   /** Bounded drain: process everything currently available, then stop —
     * offsets live in `checkpointDir`, so re-invocation is incremental.
     */

@@ -112,6 +112,55 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() == out.length)
   }
 
+  test("streaming curation: AvailableNow drain equals the batch filter chain row for row") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream-curate").toString
+    // canaried corpus (the q65/q67 fixture): eval docs (id%100==0) and the
+    // id%10==3 train docs share an 8-word canary gram
+    val canaried = graft.sources.Tables.read(spark, sfDir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 10 === 3,
+        concat(col("text"), lit(" decontamination canary phrase number "),
+          col("doc_id") % 5, lit(" alpha beta gamma delta")))
+        .when(col("doc_id") % 100 === 0,
+          concat(col("text"), lit(" decontamination canary phrase number "),
+            col("doc_id").divide(lit(100)).cast("bigint") % 5, lit(" alpha beta gamma delta")))
+        .otherwise(col("text")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    canaried.write.mode("overwrite").parquet(s"$tmp/docs")
+    val evalGrams = canaried.filter(col("doc_id") % 100 === 0)
+      .select(col("text")).as[String].collect()
+      .iterator.flatMap(graft.operators.Dedup.wordGrams(_, 8)).toSet
+    val curated = StreamIngest.streamCurate(spark, s"$tmp/docs", evalGrams)
+    StreamIngest.runAvailableNow(curated, s"$tmp/ckpt", s"$tmp/out")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang_pred"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("rep_micro"))
+    val streamed = spark.read.parquet(s"$tmp/out").collect().map(key).toSet
+    // batch reference: identical per-doc metrics + filters over the same files
+    import graft.functions.TextAnalysis
+    val gramsB = spark.sparkContext.broadcast(evalGrams)
+    val batch = spark.read.parquet(s"$tmp/docs")
+      .select(col("doc_id").cast("long"), col("text"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .as[(Long, String, String, Long)]
+      .map { case (id, text, lang, ntok) =>
+        val (mx, tot) = TextAnalysis.repetitionStats(text, 2)
+        val rep = if (tot == 0) 0L else mx * 1000000L / tot
+        (id, lang, ntok, rep, graft.operators.Dedup.wordGrams(text, 8).exists(gramsB.value.contains))
+      }
+      .toDF("doc_id", "lang_pred", "n_tokens", "rep_micro", "contaminated")
+      .filter(col("lang_pred") === "en" && col("n_tokens") >= 30 &&
+        col("rep_micro") < 150000 && !col("contaminated"))
+      .collect().map(key).toSet
+    val total = spark.read.parquet(s"$tmp/docs").count()
+    assert(streamed == batch && streamed.nonEmpty && streamed.size < total)
+    // second drain: exactly-once, nothing replays
+    StreamIngest.runAvailableNow(curated, s"$tmp/ckpt", s"$tmp/out")
+    assert(spark.read.parquet(s"$tmp/out").count() == streamed.size)
+  }
+
   test("sessionizeSorted agrees with sessionize on real events") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val a = StreamIngest.sessionize(spark, ev, 30)
