@@ -101,6 +101,10 @@ object Bench {
       Thread.sleep(2000)
       BenchJobs.replicatedTriples(spark, dir, rep, parts).count() // warm-in, untimed
       val hw1 = hwOpsPerSec(cores)
+      // drain BEFORE zeroing too: warm-in stage events still queued on the
+      // async bus (e.g. delivery starved by the burn threads) must not land
+      // after the reset and inflate the timed window
+      org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
       taskRunMs.set(0)
       val t0 = System.nanoTime()
       val n = BenchJobs.replicatedTriples(spark, dir, rep, parts).count()

@@ -1353,8 +1353,8 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).as[Array[Float]].head()
-    val path = ensureLayout(layoutPath("int8", dir))(
-      Ann.int8WriteLayout(s, emb, "vec_id", "embedding", layoutPath("int8", dir)))
+    val path = ensureLayout(layoutPath("int8_q127", dir))(
+      Ann.int8WriteLayout(s, emb, "vec_id", "embedding", layoutPath("int8_q127", dir)))
     Ann.int8TopKStored(s, path, "vec_id", query, k = 20)
   }
 
@@ -1567,13 +1567,24 @@ object Queries {
   // fingerprint of the source files so a regenerated testdata set can never
   // serve a stale layout.
 
+  /** Bump whenever any layout-generating formula changes (gate centroids,
+    * integer planes, PQ codebooks, the int8 quantizer, partition naming):
+    * the version participates in the cache key, so a formula edit can never
+    * be served a layout built by the previous formula.
+    */
+  private val LayoutVersion = "v2"
+
+  /** `kind` must encode every layout PARAMETER (cell/plane/codebook counts)
+    * — e.g. "ivfcells_c16" — so a parameter change misses the cache instead
+    * of probing a layout partitioned under different constants.
+    */
   private[graft] def layoutPath(kind: String, dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val stamp =
       if (src.isDirectory)
         src.listFiles().map(f => f.getName + ":" + f.length).sorted.mkString(",")
       else src.getName + ":" + src.length
-    val tag = java.lang.Long.toHexString(Sketches.fnv1a(dir + "|" + stamp))
+    val tag = java.lang.Long.toHexString(Sketches.fnv1a(dir + "|" + stamp + "|" + LayoutVersion))
     s"${sys.props("java.io.tmpdir")}/graft_layout_${kind}_$tag"
   }
 
@@ -1591,8 +1602,8 @@ object Queries {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
-    val path = ensureLayout(layoutPath("ivfcells", dir))(
-      Ann.ivfWriteLayoutGate(s, emb, "vec_id", "embedding", layoutPath("ivfcells", dir), nCells = 16))
+    val path = ensureLayout(layoutPath("ivfcells_c16", dir))(
+      Ann.ivfWriteLayoutGate(s, emb, "vec_id", "embedding", layoutPath("ivfcells_c16", dir), nCells = 16))
     Ann.ivfTopKPartitioned(s, path, "vec_id", "embedding", query, k = 20, nCells = 16, nProbe = 4)
   }
 
@@ -1607,8 +1618,8 @@ object Queries {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
-    val path = ensureLayout(layoutPath("lshbuckets", dir))(
-      Ann.lshWriteLayoutGate(s, emb, "vec_id", "embedding", layoutPath("lshbuckets", dir), nPlanes = 5))
+    val path = ensureLayout(layoutPath("lshbuckets_p5", dir))(
+      Ann.lshWriteLayoutGate(s, emb, "vec_id", "embedding", layoutPath("lshbuckets_p5", dir), nPlanes = 5))
     Ann.lshTopKPartitioned(s, path, "vec_id", "embedding", query, k = 20, nPlanes = 5)
   }
 
@@ -1627,8 +1638,8 @@ object Queries {
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val path = ensureLayout(layoutPath("ivfcells", dir))(
-      Ann.ivfWriteLayoutGate(s, emb, "vec_id", "embedding", layoutPath("ivfcells", dir), nCells = 16))
+    val path = ensureLayout(layoutPath("ivfcells_c16", dir))(
+      Ann.ivfWriteLayoutGate(s, emb, "vec_id", "embedding", layoutPath("ivfcells_c16", dir), nCells = 16))
     Ann.multiQueryIvfPartitioned(s, path, "vec_id", "embedding", queries, k = 20)
   }
 
@@ -1682,8 +1693,8 @@ object Queries {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
-    val path = ensureLayout(layoutPath("pqcodes", dir))(
-      Ann.pqWriteLayout(s, emb, "vec_id", "embedding", layoutPath("pqcodes", dir), m = 8, kw = 16))
+    val path = ensureLayout(layoutPath("pqcodes_m8k16", dir))(
+      Ann.pqWriteLayout(s, emb, "vec_id", "embedding", layoutPath("pqcodes_m8k16", dir), m = 8, kw = 16))
     Ann.pqTopKStored(s, path, "vec_id", query, k = 20, m = 8, kw = 16)
   }
 
@@ -1729,8 +1740,9 @@ object Queries {
     * The oracle reproduces the planting, tokenization (regex split), gram
     * construction (list slice), and the overlap join in SQL.
     */
-  def q65Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val canaried = t(s, dir, "documents").select(
+  /** The canaried corpus — the shared q65/q67 decontamination fixture. */
+  private def canariedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
       col("doc_id"),
       when(col("doc_id") % 10 === 3,
         concat(col("text"), lit(" decontamination canary phrase number "),
@@ -1739,8 +1751,9 @@ object Queries {
           concat(col("text"), lit(" decontamination canary phrase number "),
             col("doc_id").divide(lit(100)).cast("bigint") % 5, lit(" alpha beta gamma delta")))
         .otherwise(col("text")).as("text"))
-    Dedup.decontaminate(canaried, "doc_id", "text", col("doc_id") % 100 === 0, n = 8)
-  }
+
+  def q65Decontaminate(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminate(canariedDocs(s, dir), "doc_id", "text", col("doc_id") % 100 === 0, n = 8)
 
   def q65Sql: String =
     s"""WITH dd AS (
@@ -1796,46 +1809,51 @@ object Queries {
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
 
   /** The corpus-curation flagship — the end-to-end "prepare training data"
-    * flow a 100 TB pipeline actually ships, composed from the individually
-    * gated operators: language ID (q30) + token count (q31) + repetition
-    * score (q66) + benchmark decontamination (q65, canaried) as per-doc
-    * metrics, filtered (en, ≥30 tokens, rep < 15%, uncontaminated), then
-    * the exact-dedup min-id survivor pick (q25's digest) over the kept set.
-    * Every metric keys on doc_id, so the joins co-partition; at scale the
-    * metric columns fuse into one narrow pass and the only wide op left is
-    * the dedup aggregate, keyed on the 16-byte digest. The oracle reuses
-    * the component queries' SQL verbatim as scoped subqueries.
+    * flow a 100 TB pipeline actually ships: language ID, token count,
+    * repetition score, and the decontamination check (vs the broadcast
+    * eval-gram set, canaried fixture) computed in ONE narrow pass over the
+    * corpus (Curation.metrics — the same code the streaming form runs),
+    * the shared keep thresholds (Curation.keepFilter), then the exact-dedup
+    * min-id survivor pick over the kept set — the digest-keyed aggregate is
+    * the only wide op in the whole flow. The oracle reuses the component
+    * queries' SQL verbatim as scoped subqueries over the canaried corpus.
     */
   def q67CurateCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val lang = q30LangId(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("lang_pred"))
-    val qual = docs.select(col("doc_id").cast("long").as("doc_id"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-    val rep = q66Repetition(s, dir).select(col("doc_id"), col("rep_micro"))
-    val cont = q65Decontaminate(s, dir)
-    val keep = cont
-      .join(lang, Seq("doc_id"))
-      .join(qual, Seq("doc_id"))
-      .join(rep, Seq("doc_id"))
-      .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("text")), Seq("doc_id"))
-      .filter(!col("contaminated") && col("lang_pred") === "en" &&
-        col("n_tokens") >= 30 && col("rep_micro") < 150000)
-    val withFp = keep.withColumn("fp",
-      md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+    val canaried = canariedDocs(s, dir)
+    val evalGrams = s.sparkContext.broadcast(
+      Curation.evalGramSet(canaried, "doc_id", "text", col("doc_id") % 100 === 0))
+    val train = canaried.filter(col("doc_id") % 100 =!= 0)
+    val keep = Curation.metrics(train, "doc_id", "text", evalGrams)
+      .filter(Curation.keepFilter)
+    val withFp = keep.withColumn("fp", Dedup.contentFingerprint(col("text")))
     val surv = withFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     withFp.join(surv, Seq("fp", "doc_id"), "left_semi")
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("rep_micro"))
   }
 
-  def q67Sql: String =
-    s"""WITH lang AS (SELECT * FROM (
-       |$q30Sql
+  /** The component oracles (q30/q31/q66) are reused verbatim, re-pointed at
+    * the canaried corpus CTE (`dd`) — string substitution of their one
+    * `FROM documents` source, so a change to a component's SQL flows into
+    * the composite automatically.
+    */
+  def q67Sql: String = {
+    def onDd(sql: String) = sql.replace("FROM documents", "FROM dd")
+    s"""WITH dd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 3
+       |           THEN text || ' decontamination canary phrase number ' || (doc_id % 5) || ' alpha beta gamma delta'
+       |         WHEN doc_id % 100 = 0
+       |           THEN text || ' decontamination canary phrase number ' || ((doc_id // 100) % 5) || ' alpha beta gamma delta'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |lang AS (SELECT * FROM (
+       |${onDd(q30Sql)}
        |) x1),
        |qual AS (SELECT * FROM (
-       |$q31Sql
+       |${onDd(q31Sql)}
        |) x2),
        |rep AS (SELECT * FROM (
-       |${q66Sql}
+       |${onDd(q66Sql)}
        |) x3),
        |cont AS (SELECT * FROM (
        |${q65Sql}
@@ -1846,7 +1864,7 @@ object Queries {
        |  JOIN lang l ON l.doc_id = c.doc_id
        |  JOIN qual q ON q.doc_id = c.doc_id
        |  JOIN rep r ON r.doc_id = c.doc_id
-       |  JOIN documents d ON d.doc_id = c.doc_id
+       |  JOIN dd d ON d.doc_id = c.doc_id
        |  WHERE NOT c.contaminated AND l.lang_pred = 'en'
        |    AND q.n_tokens >= 30 AND r.rep_micro < 150000),
        |fps AS (
@@ -1856,6 +1874,7 @@ object Queries {
        |SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.lang_pred,
        |       CAST(f.n_tokens AS BIGINT) AS n_tokens, CAST(f.rep_micro AS BIGINT) AS rep_micro
        |FROM fps f JOIN surv s ON s.fp = f.fp AND s.doc_id = f.doc_id""".stripMargin
+  }
 
   // ----------------------------------------------------------------- maps
 

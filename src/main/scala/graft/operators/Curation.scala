@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.broadcast.Broadcast
+import graft.functions.TextAnalysis
+
+/** The corpus-curation kernel shared by the batch flagship (q67) and the
+  * streaming form (StreamIngest.streamCurate): per-document metrics in ONE
+  * narrow pass (language ID and token count as Column expressions fused
+  * into the typed map's input projection; repetition and the
+  * decontamination check inside the map against the broadcast eval-gram
+  * set), plus the single definition of the keep thresholds. Stateless and
+  * shuffle-free, so the identical code runs under batch and Structured
+  * Streaming — StreamingSpec asserts the two executions agree row for row.
+  */
+object Curation {
+
+  val Lang = "en"
+  val MinTokens = 30L
+  val MaxRepMicro = 150000L
+  val GramN = 8
+
+  /** The eval set's word-gram universe (bounded: the eval set is small by
+    * definition) — collected once, broadcast by callers.
+    */
+  def evalGramSet(docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, n: Int = GramN): Set[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(isEval).select(col(textCol)).as[String]
+      .flatMap(Dedup.wordGrams(_, n)).distinct().collect().toSet
+  }
+
+  /** Per-doc metrics: (doc_id, text, lang_pred, n_tokens, rep_micro,
+    * contaminated) — one narrow pass, batch or streaming.
+    */
+  def metrics(docs: DataFrame, idCol: String, textCol: String,
+      evalGrams: Broadcast[Set[String]], n: Int = GramN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        col(idCol).cast("long"),
+        col(textCol),
+        TextAnalysis.langId(col(textCol)).as("lang_pred"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .as[(Long, String, String, Long)]
+      .mapPartitions { it =>
+        val g = evalGrams.value
+        it.map { case (id, text, lang, ntok) =>
+          val (mx, tot) = TextAnalysis.repetitionStats(text, 2)
+          val rep = if (tot == 0) 0L else mx * 1000000L / tot
+          (id, text, lang, ntok, rep, Dedup.wordGrams(text, n).exists(g.contains))
+        }
+      }
+      .toDF("doc_id", "text", "lang_pred", "n_tokens", "rep_micro", "contaminated")
+  }
+
+  /** The curation keep-predicate — ONE definition of the thresholds. */
+  def keepFilter: Column =
+    col("lang_pred") === Lang && col("n_tokens") >= MinTokens &&
+      col("rep_micro") < MaxRepMicro && !col("contaminated")
+}

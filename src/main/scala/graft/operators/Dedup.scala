@@ -21,10 +21,17 @@ import graft.functions.Sketches
   */
 object Dedup {
 
+  /** The canonical normalized-content digest (whitespace-collapsed,
+    * lowercased, md5) — THE content identity every exact-dedup consumer
+    * shares (exact, q25, the q67 survivor pick), defined once.
+    */
+  def contentFingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
   /** Exact dedup: survivor = min(id) per normalized-content digest. */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     docs
-      .withColumn("fp", md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))))
+      .withColumn("fp", contentFingerprint(col(textCol)))
       .groupBy("fp")
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
   }
@@ -301,9 +308,16 @@ object Dedup {
     // at fixpoint edges form stars (node → component min); add the centers —
     // the outer distinct subsumes deduping the center side, so the union
     // needs no inner distinct (one fewer exchange on the label read-out)
-    val labels = e.select(col("u").as("id"), col("v").as("component"))
+    val raw = e.select(col("u").as("id"), col("v").as("component"))
       .unionByName(e.select(col("v").as("id"), col("v").as("component")))
-      .distinct()
+    // converged ⇒ the star forest already has exactly one row per node, so
+    // distinct suffices; NOT converged ⇒ a node can still hold several
+    // candidate parents, and emitting them all would duplicate every
+    // downstream join — collapse to the best (minimum) label per node so
+    // the degraded output keeps the one-row-per-id contract
+    val labels =
+      if (converged) raw.distinct()
+      else raw.groupBy("id").agg(min(col("component")).as("component"))
     (labels, converged)
   }
 

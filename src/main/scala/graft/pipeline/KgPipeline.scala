@@ -236,7 +236,7 @@ object KgPipeline {
     * /root/reference/src/wikidata_update/get_updates.py:1077-1085;
     * sparql_updates.py:313-333): the 20-line PREFIX preamble, then each
     * block followed by a blank line. Driver-side by design — golden files
-    * are small; table output goes through Tables.write.
+    * are small; table output goes through the Tables.format seam.
     */
   def goldenFile(blocks: Seq[String]): String =
     graft.text.SparqlFormat.prefixHeader + "\n" +

@@ -66,10 +66,6 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def write(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
-  }
 
   /** The pipeline's input page table in BASELINE.json input_hint shape
     * (url, warc_ts, html, text, lang), synthesized deterministically from the

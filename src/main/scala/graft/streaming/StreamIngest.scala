@@ -79,33 +79,18 @@ object StreamIngest {
       spark: SparkSession,
       docsDir: String,
       evalGrams: Set[String],
-      n: Int = 8
+      n: Int = graft.operators.Curation.GramN
   ): DataFrame = {
-    import spark.implicits._
-    import graft.functions.TextAnalysis
+    import graft.operators.Curation
     val gramsB = spark.sparkContext.broadcast(evalGrams)
-    spark.readStream
+    val stream = spark.readStream
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
       .parquet(docsDir)
-      .select(
-        col("doc_id").cast("long"),
-        col("text"),
-        TextAnalysis.langId(col("text")).as("lang_pred"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      .as[(Long, String, String, Long)]
-      .mapPartitions { it =>
-        val g = gramsB.value
-        it.map { case (id, text, lang, ntok) =>
-          val (mx, tot) = TextAnalysis.repetitionStats(text, 2)
-          val rep = if (tot == 0) 0L else mx * 1000000L / tot
-          val contaminated = graft.operators.Dedup.wordGrams(text, n).exists(g.contains)
-          (id, lang, ntok, rep, contaminated)
-        }
-      }
-      .toDF("doc_id", "lang_pred", "n_tokens", "rep_micro", "contaminated")
-      .filter(col("lang_pred") === "en" && col("n_tokens") >= 30 &&
-        col("rep_micro") < 150000 && !col("contaminated"))
-      .drop("contaminated")
+    // the SAME kernel the batch flagship (q67) runs — metrics + thresholds
+    // are defined once in Curation, so batch and stream cannot diverge
+    Curation.metrics(stream, "doc_id", "text", gramsB, n)
+      .filter(Curation.keepFilter)
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("rep_micro"))
   }
 
   /** Bounded drain: process everything currently available, then stop —

@@ -282,7 +282,7 @@ class PlanSpec extends SparkSpec {
       scans.head.partitionFilters.mkString(","))
     // runtime proof: the files the pruned read touches are a strict subset
     // of the layout's files, bounded by the probed cells
-    val layout = spark.read.parquet(Queries.layoutPath("ivfcells", sfDir))
+    val layout = spark.read.parquet(Queries.layoutPath("ivfcells_c16", sfDir))
     val qv = Tables.read(spark, sfDir, "embeddings")
       .filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
     val probe = operators.Ann

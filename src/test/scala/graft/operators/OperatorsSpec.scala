@@ -603,7 +603,11 @@ class OperatorsSpec extends SparkSpec {
     val chain = (1L until 32L).map(d => (d - 1, d)).toDF("id1", "id2")
     val (labels, converged) = Dedup.componentsWithStatus(spark, chain, maxIters = 1)
     assert(!converged)
-    assert(labels.count() > 0) // degraded labels returned, job not killed
+    val degraded = labels.collect()
+    assert(degraded.nonEmpty) // degraded labels returned, job not killed
+    // the one-row-per-id contract must survive degradation (a multi-parent
+    // mid-state would otherwise duplicate every downstream join)
+    assert(degraded.map(_.getLong(0)).distinct.length == degraded.length)
     val (labels2, converged2) = Dedup.componentsWithStatus(spark, chain, maxIters = 20)
     assert(converged2)
     val m = labels2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -128,31 +128,22 @@ class StreamingSpec extends SparkSpec {
         .otherwise(col("text")).as("text"),
       col("lang"), col("source"), col("n_chars"))
     canaried.write.mode("overwrite").parquet(s"$tmp/docs")
-    val evalGrams = canaried.filter(col("doc_id") % 100 === 0)
-      .select(col("text")).as[String].collect()
-      .iterator.flatMap(graft.operators.Dedup.wordGrams(_, 8)).toSet
+    val evalGrams = graft.operators.Curation.evalGramSet(
+      canaried, "doc_id", "text", col("doc_id") % 100 === 0)
     val curated = StreamIngest.streamCurate(spark, s"$tmp/docs", evalGrams)
     StreamIngest.runAvailableNow(curated, s"$tmp/ckpt", s"$tmp/out")
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("doc_id"), r.getAs[String]("lang_pred"),
         r.getAs[Long]("n_tokens"), r.getAs[Long]("rep_micro"))
     val streamed = spark.read.parquet(s"$tmp/out").collect().map(key).toSet
-    // batch reference: identical per-doc metrics + filters over the same files
-    import graft.functions.TextAnalysis
+    // batch reference: the SAME shared kernel executed as a batch plan over
+    // the same files — the assertion is batch-vs-stream EXECUTION parity of
+    // one definition, not two hand-kept copies
+    import graft.operators.Curation
     val gramsB = spark.sparkContext.broadcast(evalGrams)
-    val batch = spark.read.parquet(s"$tmp/docs")
-      .select(col("doc_id").cast("long"), col("text"),
-        TextAnalysis.langId(col("text")).as("lang_pred"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      .as[(Long, String, String, Long)]
-      .map { case (id, text, lang, ntok) =>
-        val (mx, tot) = TextAnalysis.repetitionStats(text, 2)
-        val rep = if (tot == 0) 0L else mx * 1000000L / tot
-        (id, lang, ntok, rep, graft.operators.Dedup.wordGrams(text, 8).exists(gramsB.value.contains))
-      }
-      .toDF("doc_id", "lang_pred", "n_tokens", "rep_micro", "contaminated")
-      .filter(col("lang_pred") === "en" && col("n_tokens") >= 30 &&
-        col("rep_micro") < 150000 && !col("contaminated"))
+    val batch = Curation.metrics(spark.read.parquet(s"$tmp/docs"), "doc_id", "text", gramsB)
+      .filter(Curation.keepFilter)
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("rep_micro"))
       .collect().map(key).toSet
     val total = spark.read.parquet(s"$tmp/docs").count()
     assert(streamed == batch && streamed.nonEmpty && streamed.size < total)
