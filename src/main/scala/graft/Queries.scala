@@ -1876,6 +1876,42 @@ object Queries {
        |FROM fps f JOIN surv s ON s.fp = f.fp AND s.doc_id = f.doc_id""".stripMargin
   }
 
+  /** Deterministic stratified sampling (the data-recipe downsampling step):
+    * per-source keep rates 1000 − 45·(srcnum mod 20) per-mille, membership
+    * by the engine-independent md5 hash bucket — reproducible across runs
+    * AND engines, which is exactly what the oracle verifies.
+    */
+  def q68Sample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      .withColumn("keep_permille",
+        lit(1000L) - lit(45L) * pmod(expr("cast(substr(source, 4) as bigint)"), lit(20L)))
+    operators.Curation.stratifiedSample(docs, "doc_id", col("keep_permille"))
+  }
+
+  def q68Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |       CAST(1000 - 45 * (CAST(substr(source, 4) AS BIGINT) % 20) AS BIGINT) AS keep_permille
+      |FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000
+      |      < 1000 - 45 * (CAST(substr(source, 4) AS BIGINT) % 20)""".stripMargin
+
+  /** Mixture upsampling (the data-recipe weighting step): each doc
+    * replicated weight = 1 + (srcnum mod 3) times with an epoch index.
+    */
+  def q69Mixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+    operators.Curation
+      .upsample(docs, lit(1L) + pmod(expr("cast(substr(source, 4) as bigint)"), lit(3L)))
+      .select(col("doc_id"), col("source"), col("epoch"))
+  }
+
+  def q69Sql: String =
+    """SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, CAST(t.e AS BIGINT) AS epoch
+      |FROM documents d, LATERAL (
+      |  SELECT unnest(generate_series(0, CAST(substr(d.source, 4) AS BIGINT) % 3)) AS e) t""".stripMargin
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -1944,7 +1980,9 @@ object Queries {
     "q64_ann_multi_ivf" -> ((q64AnnMultiIvf _, q64Sql)),
     "q65_decontaminate" -> ((q65Decontaminate _, q65Sql)),
     "q66_repetition" -> ((q66Repetition _, q66Sql)),
-    "q67_curate_corpus" -> ((q67CurateCorpus _, q67Sql))
+    "q67_curate_corpus" -> ((q67CurateCorpus _, q67Sql)),
+    "q68_sample" -> ((q68Sample _, q68Sql)),
+    "q69_mixture" -> ((q69Mixture _, q69Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -61,4 +61,30 @@ object Curation {
   def keepFilter: Column =
     col("lang_pred") === Lang && col("n_tokens") >= MinTokens &&
       col("rep_micro") < MaxRepMicro && !col("contaminated")
+
+  /** Deterministic per-mille hash bucket of an id — the sampling primitive.
+    * md5-based (not xxhash64) so the bucket is ENGINE-INDEPENDENT: the same
+    * doc lands in the same bucket in Spark, DuckDB, or any engine with md5,
+    * which is what makes a sample reproducible across re-runs, backfills,
+    * and engines — the property `rand()` sampling can never give.
+    */
+  def hashBucket(id: Column, buckets: Int = 1000): Column =
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long") % buckets
+
+  /** Deterministic stratified sampling: keep a row iff its hash bucket
+    * falls under the row's per-stratum rate (per-mille). A pure narrow
+    * filter — no shuffle, no state — and idempotent: re-running selects the
+    * IDENTICAL sample, so downstream consumers can join across runs.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, ratePermille: Column): DataFrame =
+    docs.filter(hashBucket(col(idCol)) < ratePermille)
+
+  /** Mixture upsampling: replicate each row `weight` times with an `epoch`
+    * index 0..weight-1 — the per-source mixing step of a training-data
+    * recipe. Narrow explode; at 100 TB the epoch column is synthesized at
+    * read time (a sequence join against the stored weight) rather than
+    * materialized, but the row contract is this one.
+    */
+  def upsample(docs: DataFrame, weight: Column): DataFrame =
+    docs.withColumn("epoch", explode(sequence(lit(0L), weight.cast("long") - 1)))
 }

@@ -597,6 +597,30 @@ class OperatorsSpec extends SparkSpec {
     assert(repetitionStats("") == ((0L, 0L)))
   }
 
+  test("stratified sampling is deterministic, rate-respecting, and full-rate strata keep everything") {
+    import spark.implicits._
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+    // rate 1000 keeps every row; rate 0 keeps none
+    assert(Curation.stratifiedSample(docs, "doc_id", lit(1000L)).count() == docs.count())
+    assert(Curation.stratifiedSample(docs, "doc_id", lit(0L)).count() == 0)
+    // deterministic: two runs select the identical row set
+    val a = Curation.stratifiedSample(docs, "doc_id", lit(500L)).collect().map(_.getLong(0)).toSet
+    val b = Curation.stratifiedSample(docs, "doc_id", lit(500L)).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < docs.count())
+    // the kept fraction tracks the rate (hash buckets ~uniform)
+    assert(math.abs(a.size.toDouble / docs.count() - 0.5) < 0.1, s"${a.size}")
+  }
+
+  test("upsample replicates each row exactly weight times with epochs 0..w-1") {
+    import spark.implicits._
+    val docs = Seq((1L, "src0"), (2L, "src1"), (3L, "src2")).toDF("doc_id", "source")
+    val w = lit(1L) + pmod(expr("cast(substr(source, 4) as bigint)"), lit(3L))
+    val out = Curation.upsample(docs, w).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(out == Seq((1L, 0L), (2L, 0L), (2L, 1L), (3L, 0L), (3L, 1L), (3L, 2L)))
+  }
+
   test("componentsWithStatus: degrades past maxIters (labels + false flag), converges exactly otherwise") {
     import spark.implicits._
     // a length-32 chain needs several star rounds; maxIters=1 cannot finish
