@@ -1355,7 +1355,7 @@ object Queries {
       .select(col("embedding")).as[Array[Float]].head()
     val path = ensureLayout(layoutPath("int8_q127", dir))(
       Ann.int8WriteLayout(s, emb, "vec_id", "embedding", layoutPath("int8_q127", dir)))
-    Ann.int8TopKStored(s, path, "vec_id", query, k = 20)
+    Ann.int8TopKStoredNative(s, path, "vec_id", query, k = 20)
   }
 
   val q60Sql: String = {

@@ -473,6 +473,33 @@ object Ann {
       .limit(k)
   }
 
+  /** Native-codegen form of int8TopKStored: scoring via the Int8DotExpr
+    * Catalyst expression (binary columns are `byte[]` in generated code),
+    * so scan → score → TakeOrderedAndProject is ONE fused codegen stage
+    * with no object ser/deser fence — the production shape of the
+    * stored-quantized scan. Query vector rides as a SQL binary literal.
+    * Row-equal to the typed form (PlanSpec) and gated by q60's oracle.
+    */
+  def int8TopKStoredNative(
+      spark: SparkSession,
+      layoutPath: String,
+      idCol: String,
+      query: Array[Float],
+      k: Int
+  ): DataFrame = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_dot_fast",
+      exprs => graft.plans.Int8DotExpr(exprs.head, exprs(1)),
+      "built-in")
+    val qhex = quantizeInt8(query).map(b => f"${b & 0xff}%02X").mkString
+    spark.read.parquet(layoutPath)
+      .select(
+        col(idCol).cast("long"),
+        expr(s"int8_dot_fast(qvec, X'$qhex')").as("int8_dot"))
+      .orderBy(col("int8_dot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ------------------------------------------------- product quantization
 
   /** Closed-form PQ codebooks on the milli scale: subspace s (of m), codeword

@@ -57,5 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ScaledDotExpr].getName, "scaled_dot_fast"),
       (children: Seq[Expression]) => ScaledDotExpr(children.head, children(1))
     ))
+    ext.injectFunction((
+      FunctionIdentifier("int8_dot_fast"),
+      new ExpressionInfo(classOf[Int8DotExpr].getName, "int8_dot_fast"),
+      (children: Seq[Expression]) => Int8DotExpr(children.head, children(1))
+    ))
   }
 }

@@ -295,6 +295,22 @@ class PlanSpec extends SparkSpec {
       s"no file pruning: pruned=$filesPruned all=$filesAll")
   }
 
+  test("stored-int8 native scoring: no object fence; rows equal the typed stored form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Queries.q60AnnInt8(spark, sfDir) // builds the layout on first use
+    assert(initialPlan(df).collect {
+      case d: org.apache.spark.sql.execution.DeserializeToObjectExec => d
+    }.isEmpty, initialPlan(df).toString)
+    assert(initialPlan(df).toString.contains("int8_dot_fast"))
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+    val typed = operators.Ann
+      .int8TopKStored(spark, Queries.layoutPath("int8_q127", sfDir), "vec_id", qv, 20)
+      .collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == typed && typed.nonEmpty)
+  }
+
   test("q63: LSH multiprobe set is a partition filter on the bucket layout") {
     val df = Queries.q63AnnLshPart(spark, sfDir)
     df.collect()

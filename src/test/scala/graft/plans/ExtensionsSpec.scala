@@ -24,5 +24,11 @@ class ExtensionsSpec extends SparkSpec {
       .head().getLong(0)
     // floor(1000)*floor(3000) + floor(2000)*floor(500) = 3_000_000 + 1_000_000
     assert(dot == 4000000L)
+    // int8_dot_fast over binary literals: 0x01*0x03 + 0x7F*0x01 = 3 + 127
+    val i8 = spark.sql("SELECT int8_dot_fast(X'017F', X'0301') AS d").head().getLong(0)
+    assert(i8 == 130L)
+    // signed bytes: 0xFF = -1
+    val neg = spark.sql("SELECT int8_dot_fast(X'FF', X'02') AS d").head().getLong(0)
+    assert(neg == -2L)
   }
 }
