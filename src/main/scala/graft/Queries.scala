@@ -1881,11 +1881,13 @@ object Queries {
     * by the engine-independent md5 hash bucket — reproducible across runs
     * AND engines, which is exactly what the oracle verifies.
     */
+  /** The stratum number of the fixture's "srcN" source labels. */
+  private def srcNum = expr("cast(substr(source, 4) as bigint)")
+
   def q68Sample(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("source"))
-      .withColumn("keep_permille",
-        lit(1000L) - lit(45L) * pmod(expr("cast(substr(source, 4) as bigint)"), lit(20L)))
+      .withColumn("keep_permille", lit(1000L) - lit(45L) * pmod(srcNum, lit(20L)))
     operators.Curation.stratifiedSample(docs, "doc_id", col("keep_permille"))
   }
 
@@ -1903,7 +1905,7 @@ object Queries {
     val docs = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("source"))
     operators.Curation
-      .upsample(docs, lit(1L) + pmod(expr("cast(substr(source, 4) as bigint)"), lit(3L)))
+      .upsample(docs, lit(1L) + pmod(srcNum, lit(3L)))
       .select(col("doc_id"), col("source"), col("epoch"))
   }
 

@@ -81,14 +81,16 @@ object Curation {
 
   /** Mixture upsampling: replicate each row `weight` times with an `epoch`
     * index 0..weight-1 — the per-source mixing step of a training-data
-    * recipe; weight 0 DROPS the row (a legitimate recipe entry), which
-    * needs an explicit guard because `sequence(0, -1)` auto-steps BACKWARDS
-    * to [0, -1] instead of being empty. Narrow explode; at 100 TB the epoch
-    * column is synthesized at read time (a sequence join against the stored
-    * weight) rather than materialized, but the row contract is this one.
+    * recipe. Weight 0 — and NULL, the shape a recipe-join miss produces —
+    * DROPS the row (both are "this source contributes nothing", made
+    * explicit by the coalesce); the ≥1 guard is required because
+    * `sequence(0, -1)` auto-steps BACKWARDS to [0, -1] instead of being
+    * empty. Narrow explode; at 100 TB the epoch column is synthesized at
+    * read time (a sequence join against the stored weight) rather than
+    * materialized, but the row contract is this one.
     */
   def upsample(docs: DataFrame, weight: Column): DataFrame = {
-    val w = weight.cast("long")
+    val w = coalesce(weight.cast("long"), lit(0L))
     docs.withColumn("epoch",
       explode(when(w >= 1L, sequence(lit(0L), w - 1))
         .otherwise(array().cast("array<bigint>"))))

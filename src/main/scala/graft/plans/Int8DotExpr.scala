@@ -38,12 +38,10 @@ case class Int8DotExpr(left: Expression, right: Expression) extends BinaryExpres
 }
 
 object Int8DotExpr {
-  /** Same arithmetic as Ann.dotInt8, callable from generated code. */
-  def compute(a: Array[Byte], b: Array[Byte]): Long = {
-    val n = math.min(a.length, b.length)
-    var s = 0L
-    var i = 0
-    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
-    s
-  }
+  /** Static forwarder for generated code — delegates to the ONE definition
+    * of the quantized dot (Ann.dotInt8), so the typed and codegen paths
+    * cannot desynchronize.
+    */
+  def compute(a: Array[Byte], b: Array[Byte]): Long =
+    graft.operators.Ann.dotInt8(a, b)
 }

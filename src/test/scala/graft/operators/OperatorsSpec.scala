@@ -619,11 +619,19 @@ class OperatorsSpec extends SparkSpec {
     val out = Curation.upsample(docs, w).collect()
       .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
     assert(out == Seq((1L, 0L), (2L, 0L), (2L, 1L), (3L, 0L), (3L, 1L), (3L, 2L)))
-    // weight 0 DROPS the row (sequence(0,-1) would otherwise step backwards)
-    val zeroed = Curation.upsample(docs, pmod(expr("cast(substr(source, 4) as bigint)"), lit(3L)))
+    // weight 0 DROPS the row (sequence(0,-1) would otherwise step backwards),
+    // and a NULL weight (recipe-join miss) behaves like 0
+    val srcNum = expr("cast(substr(source, 4) as bigint)")
+    val zeroed = Curation.upsample(docs, pmod(srcNum, lit(3L)))
       .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
     assert(zeroed == Seq((2L, 0L), (3L, 0L), (3L, 1L))) // src0 weight 0 vanishes
-    // empty eval set: nothing is contaminated, nothing crashes
+    val nulled = Curation.upsample(docs, when(srcNum === 1, lit(2L)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(nulled == Seq((2L, 0L), (2L, 1L))) // NULL-weight sources vanish
+  }
+
+  test("decontaminate: empty eval set flags nothing and does not crash") {
+    import spark.implicits._
     val flags = Dedup.decontaminate(
       Seq((1L, "some words here")).toDF("doc_id", "text"), "doc_id", "text", lit(false))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
