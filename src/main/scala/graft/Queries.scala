@@ -1914,6 +1914,58 @@ object Queries {
       |FROM documents d, LATERAL (
       |  SELECT unnest(generate_series(0, CAST(substr(d.source, 4) AS BIGINT) % 3)) AS e) t""".stripMargin
 
+  /** Entity-importance ranking over the KG's adjacency graph — the damped
+    * power iteration (PageRank family) in EXACT integer arithmetic: ranks
+    * in micro-units, per-edge contribution = r DIV outdeg, damping =
+    * (85·Σ) DIV 100, three fixed rounds. Every round is one join + one
+    * aggregation keyed on the node — co-partitionable at scale, the same
+    * shuffle discipline as the CC operator. Integer division makes every
+    * round bit-reproducible in SQL, so the oracle unrolls the three rounds
+    * as CTEs over the full q40 pipeline.
+    */
+  def q70EntityRank(s: SparkSession, dir: String): DataFrame = {
+    val triples = KgPipeline.run(s, dir, numPartitions = s.sparkContext.defaultParallelism)
+    val edges = triples.filter(col("pred") === "wdt:P1002")
+      .select(col("subj").as("u"), col("obj").as("v")).distinct()
+    val nodes = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node"))).distinct()
+    val outdeg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    var rank = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("node", "u"), Seq("u"))
+        .join(outdeg, Seq("u"))
+        .select(col("v").as("node"), expr("r DIV d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      rank = nodes.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) DIV 100")).as("r"))
+    }
+    rank.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  def q70Sql: String = {
+    def round(prev: String, cur: String): String =
+      s"""c$cur AS (
+         |  SELECT e.v AS node, CAST(sum($prev.r // d.d) AS BIGINT) AS c
+         |  FROM e JOIN $prev ON $prev.node = e.u JOIN d ON d.u = e.u
+         |  GROUP BY e.v),
+         |$cur AS (
+         |  SELECT n.node, CAST(150000 + (85 * coalesce(c$cur.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM n LEFT JOIN c$cur ON c$cur.node = n.node)""".stripMargin
+    s"""WITH final AS (SELECT * FROM (
+       |$q40Sql
+       |) q),
+       |e AS (SELECT DISTINCT subj AS u, obj AS v FROM final WHERE pred = 'wdt:P1002'),
+       |n AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+       |d AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT node, r AS rank_micro FROM r3""".stripMargin
+  }
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -1984,7 +2036,8 @@ object Queries {
     "q66_repetition" -> ((q66Repetition _, q66Sql)),
     "q67_curate_corpus" -> ((q67CurateCorpus _, q67Sql)),
     "q68_sample" -> ((q68Sample _, q68Sql)),
-    "q69_mixture" -> ((q69Mixture _, q69Sql))
+    "q69_mixture" -> ((q69Mixture _, q69Sql)),
+    "q70_entity_rank" -> ((q70EntityRank _, q70Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

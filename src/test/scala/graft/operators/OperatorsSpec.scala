@@ -630,6 +630,17 @@ class OperatorsSpec extends SparkSpec {
     assert(nulled == Seq((2L, 0L), (2L, 1L))) // NULL-weight sources vanish
   }
 
+  test("entity rank: damped floor respected, link structure separates ranks, deterministic") {
+    val r = graft.Queries.q70EntityRank(spark, sfDir).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.nonEmpty)
+    assert(r.values.forall(_ >= 150000L)) // the damping floor
+    assert(r.values.max > 150000L)        // linked-to entities rise above it
+    val r2 = graft.Queries.q70EntityRank(spark, sfDir).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == r2) // exact-integer iteration is bit-reproducible
+  }
+
   test("decontaminate: empty eval set flags nothing and does not crash") {
     import spark.implicits._
     val flags = Dedup.decontaminate(
