@@ -93,6 +93,24 @@ object StreamIngest {
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("rep_micro"))
   }
 
+  /** Streaming exact dedup — the stateful member of the streaming suite:
+    * duplicates arriving within the watermark horizon are dropped by keyed
+    * state (`dropDuplicatesWithinWatermark`), which is how a replaying
+    * ingest (at-least-once upstream, crash replays) is de-duplicated
+    * without holding unbounded state: the watermark BOUNDS the key-state
+    * lifetime, exactly where the batch form's digest aggregate would hold
+    * every key forever. Keyed on event_id here; a content-dedup variant
+    * keys on Dedup.contentFingerprint(text) with the same state bound.
+    */
+  def streamDedupEvents(
+      spark: SparkSession,
+      eventsDir: String,
+      watermark: String = "2 hours"
+  ): DataFrame =
+    readEvents(spark, eventsDir)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Bounded drain: process everything currently available, then stop —
     * offsets live in `checkpointDir`, so re-invocation is incremental.
     */

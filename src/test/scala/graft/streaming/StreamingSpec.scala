@@ -152,6 +152,21 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() == streamed.size)
   }
 
+  test("streaming dedup: replayed duplicates within the watermark are dropped exactly once") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream-dedup").toString
+    val events = graft.sources.Tables.read(spark, sfDir, "events").limit(2000)
+    events.write.mode("overwrite").parquet(s"$tmp/events")
+    // a replaying upstream: half the events land AGAIN as a second file
+    events.filter(col("event_id") % 2 === 0).write.mode("append").parquet(s"$tmp/events")
+    val deduped = StreamIngest.streamDedupEvents(spark, s"$tmp/events")
+    StreamIngest.runAvailableNow(deduped, s"$tmp/ckpt", s"$tmp/out")
+    val out = spark.read.parquet(s"$tmp/out").select("event_id").collect().map(_.getLong(0))
+    val batch = events.select("event_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(out.length == out.toSet.size, "duplicates survived the streaming dedup")
+    assert(out.toSet == batch, "streaming dedup != batch distinct over the same events")
+  }
+
   test("sessionizeSorted agrees with sessionize on real events") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val a = StreamIngest.sessionize(spark, ev, 30)
