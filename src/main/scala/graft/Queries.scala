@@ -1966,6 +1966,38 @@ object Queries {
        |SELECT node, r AS rank_micro FROM r3""".stripMargin
   }
 
+  /** Multimodal thumbnailing end-to-end: REAL decode → nearest-neighbor
+    * resize → re-encode → re-decode over the binary media column. On the
+    * uniform-gray fixtures nearest-neighbor keeps the image uniform, so the
+    * resized dims AND pixel sum are closed-form in media_id — the whole
+    * imaging loop is hash-gated, not just spec'd. (The encoded byte size is
+    * encoder-dependent and stays spec-side.)
+    */
+  def q71Thumbnail(s: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.thumbnailMeta(s, Tables.media(s, dir), maxDim = 16)
+      .select(
+        col("media_id"),
+        col("thumb_w").cast("bigint").as("thumb_w"),
+        col("thumb_h").cast("bigint").as("thumb_h"),
+        col("thumb_px_sum"))
+
+  def q71Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id,
+      |         16 + doc_id % 48 AS w, 16 + doc_id % 24 AS h, doc_id % 256 AS g
+      |  FROM documents),
+      |t AS (
+      |  SELECT media_id, g,
+      |    CASE WHEN greatest(w, h) <= 16 THEN w
+      |         ELSE greatest(1, w * 16 // greatest(w, h)) END AS tw,
+      |    CASE WHEN greatest(w, h) <= 16 THEN h
+      |         ELSE greatest(1, h * 16 // greatest(w, h)) END AS th
+      |  FROM dims)
+      |SELECT CAST(media_id AS BIGINT) AS media_id,
+      |       CAST(tw AS BIGINT) AS thumb_w, CAST(th AS BIGINT) AS thumb_h,
+      |       CAST(tw * th * g * 3 AS BIGINT) AS thumb_px_sum
+      |FROM t""".stripMargin
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2037,7 +2069,8 @@ object Queries {
     "q67_curate_corpus" -> ((q67CurateCorpus _, q67Sql)),
     "q68_sample" -> ((q68Sample _, q68Sql)),
     "q69_mixture" -> ((q69Mixture _, q69Sql)),
-    "q70_entity_rank" -> ((q70EntityRank _, q70Sql))
+    "q70_entity_rank" -> ((q70EntityRank _, q70Sql)),
+    "q71_thumbnail" -> ((q71Thumbnail _, q71Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -87,6 +87,60 @@ object Multimodal {
       })
   }
 
+  /** Integer target dimensions of an aspect-preserving downscale to
+    * `maxDim`: scale by maxDim/max(w,h) with floor division, clamped ≥ 1 —
+    * closed-form on both engines, so the oracle reproduces the dims.
+    * Images already within the bound are untouched.
+    */
+  def thumbDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= maxDim) (w, h)
+    else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+  }
+
+  /** REAL thumbnailing (decode → scale → re-encode): nearest-neighbor
+    * scaling so a uniform image stays uniform — which makes even the
+    * RESIZED pixel sum closed-form (tw·th·gray·3) on the uniform-gray
+    * fixtures, i.e. the whole decode→resize→re-encode→decode loop is
+    * oracle-checkable end-to-end (q71), not just spec'd. Undecodable input
+    * degrades to the empty byte array (same untrusted-binary stance as
+    * decodeImage).
+    */
+  def thumbnail(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return Array.emptyByteArray
+    val (tw, th) = thumbDims(img.getWidth, img.getHeight, maxDim)
+    val out = new java.awt.image.BufferedImage(tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = out.createGraphics()
+    try {
+      g2.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g2.drawImage(img, 0, 0, tw, th, null)
+    } finally g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream(tw * th / 4 + 128)
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batch thumbnailing + verification metadata: for each (media_id, image),
+    * the re-decoded thumbnail's dims and pixel sum. Narrow map; the binary
+    * payloads never shuffle.
+    */
+  def thumbnailMeta(spark: SparkSession, media: DataFrame, maxDim: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    media
+      .select(col("media_id").cast("long"), col("image"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val t = thumbnail(bytes, maxDim)
+        val (w, h, s) = decodeImage(t)
+        (id, t.length.toLong, w, h, s)
+      })
+      .toDF("media_id", "thumb_bytes", "thumb_w", "thumb_h", "thumb_px_sum")
+  }
+
   /** Frame-sampling shape: split a binary payload into fixed-size "frames"
     * and emit every k-th — the row-explosion pattern (flatMap Generator) a
     * video pipeline needs.

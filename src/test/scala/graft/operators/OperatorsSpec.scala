@@ -630,6 +630,16 @@ class OperatorsSpec extends SparkSpec {
     assert(nulled == Seq((2L, 0L), (2L, 1L))) // NULL-weight sources vanish
   }
 
+  test("thumbnail: dims math, PNG roundtrip on uniform images, undecodable degrades to empty") {
+    assert(Multimodal.thumbDims(64, 32, 16) == ((16, 8)))
+    assert(Multimodal.thumbDims(10, 8, 16) == ((10, 8)))    // within bound: untouched
+    assert(Multimodal.thumbDims(1000, 1, 16) == ((16, 1)))  // clamp keeps ≥ 1
+    val t = Multimodal.thumbnail(Multimodal.encodePng(40, 20, 7), 10)
+    assert(Multimodal.isPng(t))
+    assert(Multimodal.decodeImage(t) == ((10, 5, 10L * 5 * 7 * 3))) // uniform survives resize
+    assert(Multimodal.thumbnail("not a png".getBytes, 10).isEmpty)
+  }
+
   test("entity rank: damped floor respected, link structure separates ranks, deterministic") {
     val r = graft.Queries.q70EntityRank(spark, sfDir).collect()
       .map(x => x.getString(0) -> x.getLong(1)).toMap
