@@ -1998,6 +1998,38 @@ object Queries {
       |       CAST(tw * th * g * 3 AS BIGINT) AS thumb_px_sum
       |FROM t""".stripMargin
 
+  /** Audio-column metadata: REAL RIFF/WAVE bytes synthesized closed-form
+    * per doc (hand-written PCM header, no library) and parsed back by a
+    * real header parser — rate, channels, sample count, and exact-integer
+    * duration all hash-gated in SQL.
+    */
+  def q72AudioMeta(s: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.audioMeta(s, Tables.audio(s, dir)).toDF()
+      .select(
+        col("media_id"),
+        col("n_bytes"),
+        col("is_wav"),
+        col("sample_rate").cast("bigint").as("sample_rate"),
+        col("channels").cast("bigint").as("channels"),
+        col("n_samples"),
+        col("duration_ms"))
+
+  def q72Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |         8000 + (doc_id % 8) * 1000 AS sr,
+      |         1 + doc_id % 2 AS ch,
+      |         1000 + doc_id % 500 AS n
+      |  FROM documents)
+      |SELECT CAST(media_id AS BIGINT) AS media_id,
+      |       CAST(44 + n * ch * 2 AS BIGINT) AS n_bytes,
+      |       TRUE AS is_wav,
+      |       CAST(sr AS BIGINT) AS sample_rate,
+      |       CAST(ch AS BIGINT) AS channels,
+      |       CAST(n AS BIGINT) AS n_samples,
+      |       CAST(n * 1000 // sr AS BIGINT) AS duration_ms
+      |FROM a""".stripMargin
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2070,7 +2102,8 @@ object Queries {
     "q68_sample" -> ((q68Sample _, q68Sql)),
     "q69_mixture" -> ((q69Mixture _, q69Sql)),
     "q70_entity_rank" -> ((q70EntityRank _, q70Sql)),
-    "q71_thumbnail" -> ((q71Thumbnail _, q71Sql))
+    "q71_thumbnail" -> ((q71Thumbnail _, q71Sql)),
+    "q72_audio_meta" -> ((q72AudioMeta _, q72Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -141,6 +141,86 @@ object Multimodal {
       .toDF("media_id", "thumb_bytes", "thumb_w", "thumb_h", "thumb_px_sum")
   }
 
+  // ----------------------------------------------------------------- audio
+
+  final case class AudioMeta(
+      media_id: Long,
+      n_bytes: Long,
+      is_wav: Boolean,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      duration_ms: Long
+  )
+
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def rdLe16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def rdLe32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** A REAL (byte-valid) PCM WAV file, written by hand — RIFF/WAVE header,
+    * 16-byte `fmt ` chunk, silent 16-bit `data` chunk. No audio library
+    * needed; any standard WAV reader parses it.
+    */
+  def encodeWav(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    val dataBytes = nSamples * channels * 2
+    val bos = new java.io.ByteArrayOutputStream(44 + dataBytes)
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(36 + dataBytes))
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); bos.write(le32(16))
+    bos.write(le16(1)) // PCM
+    bos.write(le16(channels))
+    bos.write(le32(sampleRate))
+    bos.write(le32(sampleRate * channels * 2)) // byte rate
+    bos.write(le16(channels * 2))              // block align
+    bos.write(le16(16))                        // bits/sample
+    bos.write("data".getBytes("US-ASCII")); bos.write(le32(dataBytes))
+    bos.write(new Array[Byte](dataBytes))
+    bos.toByteArray
+  }
+
+  /** Real RIFF/WAVE header parse: (sampleRate, channels, nSamples), or the
+    * (0, 0, -1) sentinel on anything that isn't a 16-bit PCM WAV — binary
+    * columns are untrusted input (the decodeImage stance).
+    */
+  def decodeWav(bytes: Array[Byte]): (Int, Int, Long) = {
+    def ascii(o: Int, s: String) =
+      bytes.length >= o + 4 && new String(bytes, o, 4, "US-ASCII") == s
+    if (bytes.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE") || !ascii(12, "fmt "))
+      return (0, 0, -1L)
+    val fmtLen = rdLe32(bytes, 16)
+    if (rdLe16(bytes, 20) != 1) return (0, 0, -1L) // PCM only
+    val channels = rdLe16(bytes, 22)
+    val sampleRate = rdLe32(bytes, 24)
+    val bits = rdLe16(bytes, 34)
+    if (bits != 16 || channels <= 0 || sampleRate <= 0) return (0, 0, -1L)
+    val dataOff = 20 + fmtLen
+    if (!ascii(dataOff, "data")) return (0, 0, -1L)
+    val dataBytes = rdLe32(bytes, dataOff + 4)
+    (sampleRate, channels, dataBytes.toLong / (channels * 2))
+  }
+
+  def isWav(bytes: Array[Byte]): Boolean = decodeWav(bytes)._3 >= 0
+
+  /** Batch audio metadata over (media_id, audio binary): one narrow pass,
+    * bytes never shuffle. duration_ms is exact integer math so the oracle
+    * reproduces it.
+    */
+  def audioMeta(spark: SparkSession, audio: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    audio
+      .select(col("media_id").cast("long"), col("audio"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (sr, ch, n) = decodeWav(bytes)
+        val durMs = if (n < 0 || sr <= 0) -1L else n * 1000L / sr
+        AudioMeta(id, bytes.length.toLong, n >= 0, sr, ch, n, durMs)
+      })
+  }
+
   /** Frame-sampling shape: split a binary payload into fixed-size "frames"
     * and emit every k-th — the row-explosion pattern (flatMap Generator) a
     * video pipeline needs.

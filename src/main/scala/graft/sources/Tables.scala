@@ -120,4 +120,25 @@ object Tables {
       })
       .toDF("media_id", "image")
   }
+
+  /** Audio fixture table: (media_id, audio) where audio is a REAL PCM WAV
+    * (hand-written RIFF bytes, no library) with rate/channels/length a
+    * closed-form function of doc_id — sample rate 8000 + (id%8)·1000,
+    * channels 1 + id%2, samples 1000 + id%500 — so parsed metadata is
+    * oracle-checkable in SQL (q72). Narrow per-row map; the binary column
+    * is synthesized, never shuffled.
+    */
+  def audio(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    read(spark, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val sr = 8000 + (id % 8).toInt * 1000
+        val ch = 1 + (id % 2).toInt
+        val n = 1000 + (id % 500).toInt
+        (id, graft.operators.Multimodal.encodeWav(sr, ch, n))
+      })
+      .toDF("media_id", "audio")
+  }
 }

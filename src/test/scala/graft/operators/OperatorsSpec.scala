@@ -640,6 +640,18 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.thumbnail("not a png".getBytes, 10).isEmpty)
   }
 
+  test("WAV codec: hand-written RIFF bytes roundtrip; malformed input degrades to sentinel") {
+    val w = Multimodal.encodeWav(16000, 2, 1234)
+    assert(Multimodal.isWav(w))
+    assert(w.length == 44 + 1234 * 2 * 2)
+    assert(Multimodal.decodeWav(w) == ((16000, 2, 1234L)))
+    // untrusted-binary stance: truncated, wrong-magic, non-PCM all sentinel
+    assert(Multimodal.decodeWav(w.take(30)) == ((0, 0, -1L)))
+    assert(Multimodal.decodeWav("RIFFxxxxJUNK".getBytes) == ((0, 0, -1L)))
+    val nonPcm = w.clone(); nonPcm(20) = 3 // format tag != 1
+    assert(Multimodal.decodeWav(nonPcm) == ((0, 0, -1L)))
+  }
+
   test("entity rank: damped floor respected, link structure separates ranks, deterministic") {
     val r = graft.Queries.q70EntityRank(spark, sfDir).collect()
       .map(x => x.getString(0) -> x.getLong(1)).toMap
