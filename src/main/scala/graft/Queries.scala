@@ -2030,6 +2030,74 @@ object Queries {
       |       CAST(n * 1000 // sr AS BIGINT) AS duration_ms
       |FROM a""".stripMargin
 
+  /** IVF-PQ — the production vector-index shape (q61 × q62 composed): PQ
+    * codes stored partitioned by IVF cell; a query prunes partitions to its
+    * probe set AND scores 8 B codes by ADC lookup. The oracle reproduces
+    * the full combination: gate-centroid assignment + probe set (q47's
+    * machinery) over codebook assignment + ADC sums (q62's).
+    */
+  def q73AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
+    val path = ensureLayout(layoutPath("ivfpq_c16m8k16", dir))(
+      Ann.ivfPqWriteLayout(s, emb, "vec_id", "embedding", layoutPath("ivfpq_c16m8k16", dir)))
+    Ann.ivfPqTopK(s, path, "vec_id", query, k = 20)
+  }
+
+  def q73Sql: String = {
+    val dim = 64; val nCells = 16; val nProbe = 4; val m = 8; val kw = 16; val subDim = dim / m
+    val cents = Ann.intCentroids(dim, nCells)
+    val cellRows = cents.zipWithIndex.map { case (xs, c) =>
+      s"($c, ${xs.map(x => x * x).sum}, ${xs.mkString(", ")})"
+    }.mkString(",\n")
+    val books = Ann.pqCodebooks(dim, m, kw)
+    val cbRows = (for { sp <- 0 until m; c <- 0 until kw } yield {
+      val ys = books(sp)(c)
+      s"($sp, $c, ${ys.map(y => y * y).sum}, ${ys.mkString(", ")})"
+    }).mkString(",\n")
+    val xcols = (1 to dim).map(i => s"x$i").mkString(", ")
+    val ycols = (1 to subDim).map(j => s"y$j").mkString(", ")
+    def milli(ref: String, idx: String) =
+      s"CAST(floor(CAST($ref.embedding[$idx] AS DOUBLE)*1000) AS BIGINT)"
+    val cellDot = (1 to dim).map(i => s"${milli("e", i.toString)}*x$i").mkString(" + ")
+    val subDot = (1 to subDim).map(j => s"${milli("e", s"cb.s*$subDim+$j")}*y$j").mkString(" + ")
+    val qDot = (1 to subDim).map(j => s"${milli("q", s"cb.s*$subDim+$j")}*y$j").mkString(" + ")
+    s"""WITH cells(c, sx2, $xcols) AS (VALUES
+       |$cellRows),
+       |cscore AS (
+       |  SELECT e.vec_id, cells.c, cells.sx2 - 2*($cellDot) AS score
+       |  FROM embeddings e CROSS JOIN cells),
+       |cassign AS (
+       |  SELECT vec_id, c FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
+       |    FROM cscore) WHERE rn = 1),
+       |qcells AS (
+       |  SELECT c FROM (
+       |    SELECT c, row_number() OVER (ORDER BY score, c) AS rn
+       |    FROM cscore WHERE vec_id = 0) WHERE rn <= $nProbe),
+       |cb(s, c, sy2, $ycols) AS (VALUES
+       |$cbRows),
+       |passign AS (
+       |  SELECT vec_id, s, c FROM (
+       |    SELECT e.vec_id, cb.s, cb.c,
+       |           row_number() OVER (PARTITION BY e.vec_id, cb.s
+       |                              ORDER BY cb.sy2 - 2*($subDot), cb.c) AS rn
+       |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+       |qtab AS (
+       |  SELECT cb.s, cb.c, ($qDot) AS qdot
+       |  FROM cb CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+       |scored AS (
+       |  SELECT pa.vec_id, CAST(sum(qt.qdot) AS BIGINT) AS pq_dot
+       |  FROM passign pa JOIN qtab qt ON pa.s = qt.s AND pa.c = qt.c
+       |  GROUP BY pa.vec_id)
+       |SELECT sc.vec_id, sc.pq_dot
+       |FROM scored sc
+       |JOIN cassign a ON a.vec_id = sc.vec_id
+       |JOIN qcells ON a.c = qcells.c
+       |ORDER BY sc.pq_dot DESC, sc.vec_id LIMIT 20""".stripMargin
+  }
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2103,7 +2171,8 @@ object Queries {
     "q69_mixture" -> ((q69Mixture _, q69Sql)),
     "q70_entity_rank" -> ((q70EntityRank _, q70Sql)),
     "q71_thumbnail" -> ((q71Thumbnail _, q71Sql)),
-    "q72_audio_meta" -> ((q72AudioMeta _, q72Sql))
+    "q72_audio_meta" -> ((q72AudioMeta _, q72Sql)),
+    "q73_ann_ivfpq" -> ((q73AnnIvfPq _, q73Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -631,6 +631,81 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF-PQ layout — the production vector-index shape (the FAISS IVFPQ
+    * family): each vector stored as its PQ CODES (8 B at the defaults),
+    * physically partitioned by its IVF cell. A query then (a) prunes
+    * partition directories to its nProbe cells and (b) scores the surviving
+    * rows by ADC table lookup — IO bounded by nProbe/nCells of an
+    * already-32×-smaller table. Both constants come from the closed-form
+    * fnv1a families, so the combined machinery stays SQL-reproducible.
+    */
+  def ivfPqWriteLayout(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCells: Int = 16,
+      m: Int = 8,
+      kw: Int = 16
+  ): Unit = {
+    import spark.implicits._
+    val first = embeddings.select(col(vecCol)).as[Array[Float]].take(1)
+    if (first.isEmpty) return
+    val dim = first.head.length
+    val cents = spark.sparkContext.broadcast(intCentroids(dim, nCells))
+    val books = spark.sparkContext.broadcast(pqCodebooks(dim, m, kw))
+    embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = cents.value; val b = books.value
+        it.map { case (id, v) =>
+          val a = milliScaled(v)
+          (id, pqAssign(a, b), rankCellsInt(a, cs)(0))
+        }
+      }
+      .toDF(idCol, "codes", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** IVF-PQ top-k: partition-pruned scan of the probed cells, ADC scoring
+    * over the stored codes. Rows equal "PQ ADC restricted to the gate-IVF
+    * probe set", which is what q73's oracle computes.
+    */
+  def ivfPqTopK(
+      spark: SparkSession,
+      layoutPath: String,
+      idCol: String,
+      query: Array[Float],
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      kw: Int = 16
+  ): DataFrame = {
+    import spark.implicits._
+    val cents = intCentroids(query.length, nCells)
+    val probe = rankCellsInt(milliScaled(query), cents).take(nProbe).toSeq
+    val qtab = spark.sparkContext.broadcast(pqQueryTable(query, pqCodebooks(query.length, m, kw)))
+    spark.read.parquet(layoutPath)
+      .filter(col("cell").isin(probe.map(Int.box): _*))
+      .select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val t = qtab.value
+        it.map { case (id, codes) =>
+          var score = 0L
+          var s = 0
+          while (s < codes.length) { score += t(s)(codes(s) & 0xff); s += 1 }
+          (id, score)
+        }
+      }
+      .toDF(idCol, "pq_dot")
+      .orderBy(col("pq_dot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Scalar (int8) quantization — the memory/IO lever at 100 TB: a 64-dim
     * float32 vector is 256 B; quantized it's 64 B, so a scan reads 4× less
     * and the hot set fits 4× more vectors per executor. q_i =

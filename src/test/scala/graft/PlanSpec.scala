@@ -311,6 +311,20 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().map(_.toSeq).toSeq == typed && typed.nonEmpty)
   }
 
+  test("q73: IVF-PQ probe prunes partitions of the stored-codes layout") {
+    val df = Queries.q73AnnIvfPq(spark, sfDir)
+    df.collect()
+    val scans = initialPlan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, initialPlan(df).toString)
+    assert(scans.head.partitionFilters.nonEmpty &&
+      scans.head.partitionFilters.mkString(",").contains("cell"),
+      scans.head.partitionFilters.mkString(","))
+    // the scan reads codes only — the float vectors never leave the layout
+    assert(!scans.head.requiredSchema.fieldNames.contains("embedding"))
+  }
+
   test("q63: LSH multiprobe set is a partition filter on the bucket layout") {
     val df = Queries.q63AnnLshPart(spark, sfDir)
     df.collect()
