@@ -150,7 +150,8 @@ object Bench {
       // and the corpus-curation flagship (metrics + filters + dedup)
       "q61_ann_ivf_part" -> (Queries.q61AnnIvfPart _),
       "q62_ann_pq" -> (Queries.q62AnnPq _),
-      "q67_curate_corpus" -> (Queries.q67CurateCorpus _)
+      "q67_curate_corpus" -> (Queries.q67CurateCorpus _),
+      "q73_ann_ivfpq" -> (Queries.q73AnnIvfPq _)
     )
     val sHead = session(cpus)
     // per-query engine cost: task run time accumulated per timed window —
