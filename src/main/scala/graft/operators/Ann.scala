@@ -598,6 +598,36 @@ object Ann {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** ADC scoring + top-k over a (id, codes) frame — THE one definition of
+    * the stored-codes scoring loop, shared by the flat PQ scan and the
+    * IVF-PQ probe path (which only adds a partition filter in front).
+    */
+  private def adcTopK(
+      spark: SparkSession,
+      rows: DataFrame,
+      idCol: String,
+      qtab: Array[Array[Long]],
+      k: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val t = spark.sparkContext.broadcast(qtab)
+    rows
+      .select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val tt = t.value
+        it.map { case (id, codes) =>
+          var score = 0L
+          var s = 0
+          while (s < codes.length) { score += tt(s)(codes(s) & 0xff); s += 1 }
+          (id, score)
+        }
+      }
+      .toDF(idCol, "pq_dot")
+      .orderBy(col("pq_dot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** PQ top-k over STORED codes: scan reads m bytes per vector, score =
     * Σ_s qtab[s][codes[s]] (approximate dot — recall-vs-brute spec-gated;
     * the assignment+ADC arithmetic itself is exact and oracle-gated by q62).
@@ -611,24 +641,8 @@ object Ann {
       m: Int = 8,
       kw: Int = 16
   ): DataFrame = {
-    import spark.implicits._
-    val books = pqCodebooks(query.length, m, kw)
-    val qtab = spark.sparkContext.broadcast(pqQueryTable(query, books))
-    spark.read.parquet(layoutPath)
-      .select(col(idCol).cast("long"), col("codes"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val t = qtab.value
-        it.map { case (id, codes) =>
-          var score = 0L
-          var s = 0
-          while (s < codes.length) { score += t(s)(codes(s) & 0xff); s += 1 }
-          (id, score)
-        }
-      }
-      .toDF(idCol, "pq_dot")
-      .orderBy(col("pq_dot").desc, col(idCol).asc)
-      .limit(k)
+    val qtab = pqQueryTable(query, pqCodebooks(query.length, m, kw))
+    adcTopK(spark, spark.read.parquet(layoutPath), idCol, qtab, k)
   }
 
   /** IVF-PQ layout — the production vector-index shape (the FAISS IVFPQ
@@ -684,26 +698,13 @@ object Ann {
       m: Int = 8,
       kw: Int = 16
   ): DataFrame = {
-    import spark.implicits._
     val cents = intCentroids(query.length, nCells)
     val probe = rankCellsInt(milliScaled(query), cents).take(nProbe).toSeq
-    val qtab = spark.sparkContext.broadcast(pqQueryTable(query, pqCodebooks(query.length, m, kw)))
-    spark.read.parquet(layoutPath)
-      .filter(col("cell").isin(probe.map(Int.box): _*))
-      .select(col(idCol).cast("long"), col("codes"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val t = qtab.value
-        it.map { case (id, codes) =>
-          var score = 0L
-          var s = 0
-          while (s < codes.length) { score += t(s)(codes(s) & 0xff); s += 1 }
-          (id, score)
-        }
-      }
-      .toDF(idCol, "pq_dot")
-      .orderBy(col("pq_dot").desc, col(idCol).asc)
-      .limit(k)
+    val qtab = pqQueryTable(query, pqCodebooks(query.length, m, kw))
+    adcTopK(
+      spark,
+      spark.read.parquet(layoutPath).filter(col("cell").isin(probe.map(Int.box): _*)),
+      idCol, qtab, k)
   }
 
   /** Scalar (int8) quantization — the memory/IO lever at 100 TB: a 64-dim

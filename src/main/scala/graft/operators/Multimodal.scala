@@ -52,7 +52,12 @@ object Multimodal {
     * are untrusted input, same stance as the diff-walk's fuzz robustness.
     */
   def decodeImage(bytes: Array[Byte]): (Int, Int, Long) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read returns null for unrecognized formats but THROWS for
+    // recognized-but-corrupt payloads (e.g. a PNG truncated mid-IDAT) —
+    // both degrade to the sentinel, never a task kill
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
     if (img == null) return (0, 0, -1L)
     val (w, h) = (img.getWidth, img.getHeight)
     var sum = 0L
@@ -107,7 +112,11 @@ object Multimodal {
     * decodeImage).
     */
   def thumbnail(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // same stance as decodeImage: recognized-but-corrupt payloads throw
+    // from ImageIO.read — degrade, don't kill the task
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
     if (img == null) return Array.emptyByteArray
     val (tw, th) = thumbDims(img.getWidth, img.getHeight, maxDim)
     val out = new java.awt.image.BufferedImage(tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -181,25 +190,45 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Real RIFF/WAVE header parse: (sampleRate, channels, nSamples), or the
+  /** Real RIFF/WAVE parse: (sampleRate, channels, nSamples), or the
     * (0, 0, -1) sentinel on anything that isn't a 16-bit PCM WAV — binary
-    * columns are untrusted input (the decodeImage stance).
+    * columns are untrusted input (the decodeImage stance). A proper CHUNK
+    * WALK, not a fixed-offset read: real-world PCM WAVs carry LIST/fact
+    * chunks between `fmt ` and `data` (ffmpeg, Audacity), chunk sizes are
+    * validated against the buffer before every read (a crafted fmt-length
+    * cannot index out of bounds), and a lying declared data size is CLAMPED
+    * to the bytes actually present so a 46-byte file can't claim hours of
+    * audio. Any residual decode surprise degrades to the sentinel.
     */
   def decodeWav(bytes: Array[Byte]): (Int, Int, Long) = {
-    def ascii(o: Int, s: String) =
-      bytes.length >= o + 4 && new String(bytes, o, 4, "US-ASCII") == s
-    if (bytes.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE") || !ascii(12, "fmt "))
-      return (0, 0, -1L)
-    val fmtLen = rdLe32(bytes, 16)
-    if (rdLe16(bytes, 20) != 1) return (0, 0, -1L) // PCM only
-    val channels = rdLe16(bytes, 22)
-    val sampleRate = rdLe32(bytes, 24)
-    val bits = rdLe16(bytes, 34)
-    if (bits != 16 || channels <= 0 || sampleRate <= 0) return (0, 0, -1L)
-    val dataOff = 20 + fmtLen
-    if (!ascii(dataOff, "data")) return (0, 0, -1L)
-    val dataBytes = rdLe32(bytes, dataOff + 4)
-    (sampleRate, channels, dataBytes.toLong / (channels * 2))
+    val Sentinel = (0, 0, -1L)
+    try {
+      def ascii(o: Int, s: String) =
+        o >= 0 && o + 4 <= bytes.length && new String(bytes, o, 4, "US-ASCII") == s
+      if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) return Sentinel
+      var off = 12L
+      var sampleRate = 0; var channels = 0; var bits = 0; var fmtSeen = false
+      var dataBytes = -1L
+      while (off + 8 <= bytes.length && dataBytes < 0) {
+        val o = off.toInt
+        val id = new String(bytes, o, 4, "US-ASCII")
+        val size = rdLe32(bytes, o + 4)
+        if (size < 0) return Sentinel
+        if (id == "fmt ") {
+          if (size < 16 || o + 8 + 16 > bytes.length) return Sentinel
+          if (rdLe16(bytes, o + 8) != 1) return Sentinel // PCM only
+          channels = rdLe16(bytes, o + 10)
+          sampleRate = rdLe32(bytes, o + 12)
+          bits = rdLe16(bytes, o + 22)
+          fmtSeen = true
+        } else if (id == "data") {
+          dataBytes = math.min(size.toLong, bytes.length.toLong - o - 8)
+        }
+        off = off + 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      if (!fmtSeen || dataBytes < 0 || bits != 16 || channels <= 0 || sampleRate <= 0) Sentinel
+      else (sampleRate, channels, dataBytes / (channels * 2))
+    } catch { case _: Exception => Sentinel }
   }
 
   def isWav(bytes: Array[Byte]): Boolean = decodeWav(bytes)._3 >= 0

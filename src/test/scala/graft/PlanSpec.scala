@@ -321,8 +321,10 @@ class PlanSpec extends SparkSpec {
     assert(scans.head.partitionFilters.nonEmpty &&
       scans.head.partitionFilters.mkString(",").contains("cell"),
       scans.head.partitionFilters.mkString(","))
-    // the scan reads codes only — the float vectors never leave the layout
-    assert(!scans.head.requiredSchema.fieldNames.contains("embedding"))
+    // the scan reads exactly (id, codes) — if the layout ever grows a float
+    // column (defeating the 32× IO claim) and the probe reads it, this fails
+    assert(scans.head.requiredSchema.fieldNames.toSet == Set("vec_id", "codes"),
+      scans.head.requiredSchema.fieldNames.mkString(","))
   }
 
   test("q63: LSH multiprobe set is a partition filter on the bucket layout") {

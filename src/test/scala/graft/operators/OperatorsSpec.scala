@@ -650,6 +650,25 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeWav("RIFFxxxxJUNK".getBytes) == ((0, 0, -1L)))
     val nonPcm = w.clone(); nonPcm(20) = 3 // format tag != 1
     assert(Multimodal.decodeWav(nonPcm) == ((0, 0, -1L)))
+    // real-world shape: a LIST chunk BETWEEN fmt and data still parses
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOxx".getBytes("US-ASCII")
+    val withList = w.take(36) ++ listChunk ++ w.drop(36)
+    assert(Multimodal.decodeWav(withList) == ((16000, 2, 1234L)))
+    // a lying declared data size is clamped to the bytes actually present
+    val lying = w.clone()
+    lying(40) = -1; lying(41) = -1; lying(42) = -1; lying(43) = 0x7f // ~2 GB claimed
+    assert(Multimodal.decodeWav(lying) == ((16000, 2, 1234L)))
+    // a crafted fmt length cannot index out of bounds (sentinel, no throw)
+    val crafted = w.take(44).clone()
+    crafted(16) = -1; crafted(17) = -1; crafted(18) = -1; crafted(19) = 0x7f
+    assert(Multimodal.decodeWav(crafted) == ((0, 0, -1L)))
+    // recognized-but-corrupt image payloads degrade, never throw: 25 bytes
+    // = valid PNG magic + truncated IHDR, which ImageIO THROWS on (it does
+    // not return null for a recognized format)
+    val png = Multimodal.encodePng(20, 10, 5)
+    assert(Multimodal.decodeImage(png.take(25)) == ((0, 0, -1L)))
+    assert(Multimodal.thumbnail(png.take(25), 8).isEmpty)
   }
 
   test("entity rank: damped floor respected, link structure separates ranks, deterministic") {
