@@ -186,7 +186,17 @@ object Bench {
     // and every sample is emitted so a reader sees the distribution.
     val extraRuns = math.max(0, sys.env.getOrElse("SPARK_GRAFT_QUERY_EXTRA_RUNS", "3").toInt)
     val spreadBar = sys.env.getOrElse("SPARK_GRAFT_QUERY_SPREAD_BAR", "2.0").toDouble
-    val results: Seq[(String, Double, Double, Double, Seq[Double])] = headline.map { case (name, fn) =>
+    // Warm-in until COMPILED, not just once: the round-4 driver artifact had
+    // q26 at 17.4 s / 150 task-s in ALL THREE timed samples vs 1.84 s / 28.8
+    // task-s for identical code locally — one untimed run did not get the
+    // minhash kernel C2-compiled in that host window, so every timed run
+    // executed partially interpreted and the adaptive spread re-run (which
+    // keys on run-to-run variance) never fired. The fix is to keep warming
+    // UNTIMED until two consecutive runs' task-sec agree within 25% (task-sec
+    // is the engine-side signal: host stalls inflate wall, interpretation
+    // inflates task time), bounded by `maxWarmRuns`.
+    val maxWarmRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_WARM_RUNS", "4").toInt)
+    val results: Seq[(String, Double, Double, Double, Seq[Double], Int)] = headline.map { case (name, fn) =>
       def once(): (Double, Double) = {
         // settle the heap so a timed run doesn't pay for the garbage of the
         // previous query (observed: a single full-GC storm inflating one
@@ -204,29 +214,52 @@ object Bench {
         org.apache.spark.graft.BusDrain.drain(sHead.sparkContext)
         (sec, (headTaskMs.get() - task0) / 1000.0)
       }
-      once() // warm-in, untimed
+      var warmPrev = once() // warm-in, untimed
+      var warmed = 1
+      var warmStable = maxWarmRuns <= 1
+      while (!warmStable && warmed < maxWarmRuns) {
+        val cur = once()
+        val (a, b) = (math.max(cur._2, warmPrev._2), math.min(cur._2, warmPrev._2))
+        warmStable = b > 0 && a / b <= 1.25
+        warmPrev = cur
+        warmed += 1
+      }
       val runs = scala.collection.mutable.ArrayBuffer.fill(timedRuns)(once())
       def spread = runs.map(_._1).max / runs.map(_._1).min
       var extra = 0
       while (spread > spreadBar && extra < extraRuns) { runs += once(); extra += 1 }
       val best = runs.minBy(_._1)
-      (name, best._1, spread, best._2, runs.map(_._1).toSeq)
+      (name, best._1, spread, best._2, runs.map(_._1).toSeq, warmed)
     }
     sHead.stop()
 
-    def resultsJson: (String, String, String, String) = (
-      results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}"),
-      results.map { case (k, _, sp, _, _) => "\"" + k + "\":" + f"$sp%.2f" }.mkString("{", ",", "}"),
-      results.map { case (k, _, _, ts, _) => "\"" + k + "\":" + f"$ts%.3f" }.mkString("{", ",", "}"),
-      results.map { case (k, _, _, _, ss) =>
+    def resultsJson: (String, String, String, String, String) = (
+      results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}"),
+      results.map { case (k, _, sp, _, _, _) => "\"" + k + "\":" + f"$sp%.2f" }.mkString("{", ",", "}"),
+      results.map { case (k, _, _, ts, _, _) => "\"" + k + "\":" + f"$ts%.3f" }.mkString("{", ",", "}"),
+      results.map { case (k, _, _, _, ss, _) =>
         "\"" + k + "\":" + ss.map(s => f"$s%.3f").mkString("[", ",", "]")
-      }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}"),
+      results.map { case (k, _, _, _, _, w) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
     )
+    // The COMPACT summary — total + per-query wall + the scaling verdict,
+    // NO samples/spreads/task-sec maps — printed as the very LAST stdout
+    // line. Round 4's single full line grew past the driver's tail-capture
+    // window (`"parsed": null` in the artifact of record), so the parseable
+    // contract line must be short enough that truncation can never orphan
+    // it: ~800 bytes regardless of how many diagnostic maps the full line
+    // carries.
+    def compactLine(scalingExtra: String): String = {
+      val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"${results.map(_._2).sum}%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingExtra}"""
+    }
 
     // iteration aid: headline-only run, skipping the ~10-min scaling section
     if (sys.env.get("SPARK_GRAFT_HEADLINE_ONLY").contains("1")) {
-      val (qsOnly, spOnly, tsOnly, smOnly) = resultsJson
-      println(s"""{"metric":"total","value":${f"${results.map(_._2).sum}%.3f"},"unit":"sec","queries":$qsOnly,"query_runs":$timedRuns,"query_spread_max_over_min":$spOnly,"query_task_sec":$tsOnly,"query_samples":$smOnly,"sf":"$sfDir"}""")
+      val (qsOnly, spOnly, tsOnly, smOnly, wmOnly) = resultsJson
+      println(s"""{"metric":"total","value":${f"${results.map(_._2).sum}%.3f"},"unit":"sec","queries":$qsOnly,"query_runs":$timedRuns,"query_spread_max_over_min":$spOnly,"query_task_sec":$tsOnly,"query_samples":$smOnly,"query_warm_runs":$wmOnly,"sf":"$sfDir"}""")
+      println(compactLine(""))
       return
     }
 
@@ -336,11 +369,11 @@ object Bench {
     val utilLow = pairs.map(_._1.util).max
     val utilHigh = pairs.map(_._2.util).max
 
-    val (qs, spreads, taskSecs, samples) = resultsJson
+    val (qs, spreads, taskSecs, samples, warms) = resultsJson
     val total = f"${results.map(_._2).sum}%.3f"
     val scaling = f"""{"job":"kg_pipeline_rep$rep","triples":$nHigh,"cores_low":$coresLow,"cores_high":$coresHigh,"sec_low":$tLow%.2f,"sec_high":$tHigh%.2f,"triples_per_sec_low":$thrLow%.0f,"triples_per_sec_high":$thrHigh%.0f,"engine_util_low":$utilLow%.3f,"engine_util_high":$utilHigh%.3f,"task_time_ratio":$ttr%.3f,"pair_efficiencies":$pairEffsJson,"no_clean_window":$noCleanWindow,"efficiency":$eff%.3f}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$timedRuns,"query_spread_max_over_min":$spreads,"query_task_sec":$taskSecs,"query_samples":$samples,"sf":"$sfDir","scaling":$scaling}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$timedRuns,"query_spread_max_over_min":$spreads,"query_task_sec":$taskSecs,"query_samples":$samples,"query_warm_runs":$warms,"sf":"$sfDir","scaling":$scaling}"""
     println(line)
     // stdout goes through sbt's logger (every line gets an [info]/[error]
     // tag and is interleaved with Spark logs), so ALSO write the artifact to
@@ -352,5 +385,9 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
       )
     } catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
+    // the parseable contract line, LAST (full diagnostics live in `line`
+    // above and in the bench_out.json file)
+    println(compactLine(
+      f""","efficiency":$eff%.3f,"task_time_ratio":$ttr%.3f,"no_clean_window":$noCleanWindow,"triples_per_sec_low":$thrLow%.0f,"triples_per_sec_high":$thrHigh%.0f,"cores_low":$coresLow,"cores_high":$coresHigh"""))
   }
 }

@@ -1580,10 +1580,13 @@ object Queries {
     */
   private[graft] def layoutPath(kind: String, dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
+    // stamp = name + length + MTIME per file: a regenerated source whose
+    // files happen to keep their byte sizes still changes mtime, so it can
+    // never be served the previous generation's layout
+    def stampOf(f: java.io.File) = s"${f.getName}:${f.length}:${f.lastModified}"
     val stamp =
-      if (src.isDirectory)
-        src.listFiles().map(f => f.getName + ":" + f.length).sorted.mkString(",")
-      else src.getName + ":" + src.length
+      if (src.isDirectory) src.listFiles().map(stampOf).sorted.mkString(",")
+      else stampOf(src)
     val tag = java.lang.Long.toHexString(Sketches.fnv1a(dir + "|" + stamp + "|" + LayoutVersion))
     s"${sys.props("java.io.tmpdir")}/graft_layout_${kind}_$tag"
   }
@@ -1821,7 +1824,7 @@ object Queries {
   def q67CurateCorpus(s: SparkSession, dir: String): DataFrame = {
     val canaried = canariedDocs(s, dir)
     val evalGrams = s.sparkContext.broadcast(
-      Curation.evalGramSet(canaried, "doc_id", "text", col("doc_id") % 100 === 0))
+      Curation.evalGramSet(canaried, "text", col("doc_id") % 100 === 0))
     val train = canaried.filter(col("doc_id") % 100 =!= 0)
     val keep = Curation.metrics(train, "doc_id", "text", evalGrams)
       .filter(Curation.keepFilter)

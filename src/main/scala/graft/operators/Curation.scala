@@ -21,15 +21,32 @@ object Curation {
   val MaxRepMicro = 150000L
   val GramN = 8
 
-  /** The eval set's word-gram universe (bounded: the eval set is small by
-    * definition) — collected once, broadcast by callers.
+  /** Driver-side collect bound for eval-gram sets: an `isEval` predicate
+    * that accidentally matches the whole corpus must fail FAST with a clear
+    * error, not OOM the driver mid-collect. 2M grams × ~60 B ≈ 120 MB —
+    * generous for any real eval suite, far under driver heap.
     */
-  def evalGramSet(docs: DataFrame, idCol: String, textCol: String,
+  val MaxEvalGrams = 2000000
+
+  /** The eval set's word-gram universe (bounded: the eval set is small by
+    * definition) — collected once, broadcast by callers. Collection is
+    * capped at [[MaxEvalGrams]]+1 rows IN THE PLAN (a `limit`, not a
+    * post-collect check), so a corpus-sized eval predicate costs one extra
+    * row before the guard trips, never a driver OOM.
+    */
+  def evalGramSet(docs: DataFrame, textCol: String,
       isEval: Column, n: Int = GramN): Set[String] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.filter(isEval).select(col(textCol)).as[String]
-      .flatMap(Dedup.wordGrams(_, n)).distinct().collect().toSet
+    val grams = docs.filter(isEval).select(col(textCol)).as[String]
+      .flatMap(Dedup.wordGrams(_, n)).distinct()
+      .limit(MaxEvalGrams + 1).collect()
+    if (grams.length > MaxEvalGrams)
+      throw new IllegalStateException(
+        s"eval gram set exceeds $MaxEvalGrams grams - the isEval predicate " +
+          "almost certainly matches far more than an eval suite; refusing to " +
+          "broadcast it")
+    grams.toSet
   }
 
   /** Per-doc metrics: (doc_id, text, lang_pred, n_tokens, rep_micro,

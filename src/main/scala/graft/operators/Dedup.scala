@@ -239,8 +239,9 @@ object Dedup {
     *
     * Convergence (the Kiveris changed-row counter, adapted to exactness):
     * the per-round check is ONE tiny aggregate over the just-checkpointed
-    * edge set — an order-independent signature (count, xor of xxhash64,
-    * bounded hash sum) compared to the previous round's. Equal sets always
+    * edge set — an order-independent signature (count + two independent
+    * xor-folds of xxhash64, overflow-free at any edge count) compared to
+    * the previous round's. Equal sets always
     * produce equal signatures, so the exact (shuffle-heavy) `except` check
     * runs ONCE, when the signature first repeats, to confirm the fixpoint —
     * a signature collision between distinct sets merely costs one extra
@@ -271,14 +272,16 @@ object Dedup {
       .select(col(pairs.columns(0)).cast("long").as("u"), col(pairs.columns(1)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    // order-independent set signature; hash sum bounded to 31 bits/row so the
-    // Long sum cannot overflow (ANSI mode would throw) below ~2^31 edges
+    // order-independent set signature: count + two independent xor-folds
+    // (the second over the swapped pair = a different 64-bit hash of the same
+    // row). xor cannot overflow at ANY edge count — a sum term would wrap a
+    // Long past ~2^32 edges and THROW under ANSI mode, exactly the corpora
+    // this operator is pitched at
     def signature(df: DataFrame): (Long, Long, Long) = {
-      val h = xxhash64(col("u"), col("v"))
       val r = df.select(
         count(lit(1)),
         expr("bit_xor(xxhash64(u, v))"),
-        sum(shiftrightunsigned(h, 33))).head()
+        expr("bit_xor(xxhash64(v, u))")).head()
       (r.getLong(0),
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
@@ -325,9 +328,27 @@ object Dedup {
     * its near-dup component, itself when unpaired) and a survivor flag.
     * This is the terminal operator of the dedup pipeline: candidates →
     * verify → components → per-cluster survivor pick.
+    *
+    * Non-convergence is an EXPLICIT caller choice here, not a log line: the
+    * default (`requireConverged = true`) throws if the component loop hits
+    * `maxIters` without a fixpoint, because a silently-approximate label
+    * yields silently-wrong survivor flags. A caller that prefers degraded
+    * labels over a dead 100 TB job passes `requireConverged = false` —
+    * opting in to approximate clusters knowingly (or calls
+    * `componentsWithStatus` itself to quarantine them).
     */
-  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comp = components(docs.sparkSession, pairs)
+  def clusters(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIters: Int = 20,
+      requireConverged: Boolean = true
+  ): DataFrame = {
+    val (comp, converged) = componentsWithStatus(docs.sparkSession, pairs, maxIters)
+    if (requireConverged && !converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds; " +
+          "pass requireConverged=false to accept approximate cluster labels")
     docs
       .select(col(idCol).cast("long").as("id"))
       .join(comp, Seq("id"), "left_outer")

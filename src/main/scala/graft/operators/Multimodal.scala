@@ -46,18 +46,43 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Decode bound: a crafted header declaring huge dimensions would make
+    * ImageIO allocate a W×H raster and die with OutOfMemoryError — an
+    * *Error*, which no `catch Exception` sees — so dimensions are read from
+    * the HEADER first (ImageReader.getWidth/getHeight decode no pixel data)
+    * and anything above this pixel count degrades to the sentinel before a
+    * raster is ever allocated. 2^26 px ≈ 8192×8192 ≈ 768 MB of ARGB —
+    * far above any thumbnail-pipeline input, far below a task kill.
+    */
+  private val MaxDecodePixels = 1L << 26
+
+  /** Full decode behind the header-dimension guard; null for unrecognized,
+    * corrupt, or over-bound payloads — never a thrown Error.
+    */
+  private def safeDecode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) null
+          else reader.read(0)
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => null }
+
   /** Real image decode: (width, height, sum of R+G+B over all pixels).
-    * Undecodable payloads (ImageIO.read returns null) degrade to the
-    * sentinel (0, 0, -1) instead of NPE-killing the task — binary columns
-    * are untrusted input, same stance as the diff-walk's fuzz robustness.
+    * Undecodable payloads degrade to the sentinel (0, 0, -1) instead of
+    * killing the task — binary columns are untrusted input, same stance as
+    * the diff-walk's fuzz robustness. Decode goes through the header-guarded
+    * `safeDecode`, so a crafted 60000×60000 header cannot OOM the executor.
     */
   def decodeImage(bytes: Array[Byte]): (Int, Int, Long) = {
-    // ImageIO.read returns null for unrecognized formats but THROWS for
-    // recognized-but-corrupt payloads (e.g. a PNG truncated mid-IDAT) —
-    // both degrade to the sentinel, never a task kill
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = safeDecode(bytes)
     if (img == null) return (0, 0, -1L)
     val (w, h) = (img.getWidth, img.getHeight)
     var sum = 0L
@@ -112,11 +137,9 @@ object Multimodal {
     * decodeImage).
     */
   def thumbnail(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
-    // same stance as decodeImage: recognized-but-corrupt payloads throw
-    // from ImageIO.read — degrade, don't kill the task
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    // same stance as decodeImage: header-guarded decode — corrupt or
+    // raster-bomb payloads degrade, they don't kill the task
+    val img = safeDecode(bytes)
     if (img == null) return Array.emptyByteArray
     val (tw, th) = thumbDims(img.getWidth, img.getHeight, maxDim)
     val out = new java.awt.image.BufferedImage(tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -129,7 +129,7 @@ class StreamingSpec extends SparkSpec {
       col("lang"), col("source"), col("n_chars"))
     canaried.write.mode("overwrite").parquet(s"$tmp/docs")
     val evalGrams = graft.operators.Curation.evalGramSet(
-      canaried, "doc_id", "text", col("doc_id") % 100 === 0)
+      canaried, "text", col("doc_id") % 100 === 0)
     val curated = StreamIngest.streamCurate(spark, s"$tmp/docs", evalGrams)
     StreamIngest.runAvailableNow(curated, s"$tmp/ckpt", s"$tmp/out")
     def key(r: org.apache.spark.sql.Row) =
