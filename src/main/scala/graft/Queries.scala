@@ -2101,6 +2101,47 @@ object Queries {
        |ORDER BY sc.pq_dot DESC, sc.vec_id LIMIT 20""".stripMargin
   }
 
+  /** fastText-style quality-classifier scoring (the one curation filter a
+    * real pipeline runs that the heuristic ratios don't cover): a linear
+    * bag-of-token model — cue-word lexicon + token-shape features + a
+    * hashing-trick OOV bucket table — with closed-form integer weights, so
+    * the oracle reproduces score AND keep decision exactly. One narrow
+    * codegen'd pass (TextAnalysis.qualityClassifierColumns), zero UDFs,
+    * zero shuffles.
+    */
+  def q74QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id") +:
+        TextAnalysis.qualityClassifierColumns(col("text")): _*)
+
+  def q74Sql: String = {
+    val lex = TextAnalysis.qualityLexicon.map(w => s"'$w'").mkString(", ")
+    val lw = TextAnalysis.qualityLexiconWeight
+    val th = TextAnalysis.qualityThresholdMilli
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), p -> p <> '') AS ws
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+       |tw AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN regexp_matches(t, '^[a-z]+$$') THEN 8
+       |          WHEN regexp_matches(t, '[0-9]') THEN -25
+       |          ELSE -10 END)
+       |    + (CASE WHEN t IN ($lex) THEN $lw ELSE 0 END)
+       |    + ((('0x' || substr(md5(t), 1, 12))::BIGINT % 1024) * 2654435761 % 21 - 10) AS wt
+       |  FROM tok),
+       |agg AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM tw GROUP BY doc_id),
+       |n AS (SELECT doc_id, len(ws) AS n_tokens FROM w)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |       CAST(coalesce(n.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(a.score, 0) AS BIGINT) AS ft_score,
+       |       (coalesce(a.score, 0) * 1000 >= $th * coalesce(n.n_tokens, 0)
+       |        AND coalesce(n.n_tokens, 0) > 0) AS keep
+       |FROM documents d
+       |LEFT JOIN n ON n.doc_id = d.doc_id
+       |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2175,7 +2216,8 @@ object Queries {
     "q70_entity_rank" -> ((q70EntityRank _, q70Sql)),
     "q71_thumbnail" -> ((q71Thumbnail _, q71Sql)),
     "q72_audio_meta" -> ((q72AudioMeta _, q72Sql)),
-    "q73_ann_ivfpq" -> ((q73AnnIvfPq _, q73Sql))
+    "q73_ann_ivfpq" -> ((q73AnnIvfPq _, q73Sql)),
+    "q74_quality_clf" -> ((q74QualityClassifier _, q74Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -147,6 +147,53 @@ object TextAnalysis {
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
   }
 
+  /** fastText-style linear quality classifier (Joulin et al. 2016 shape: a
+    * linear model over bag-of-token features), with CLOSED-FORM integer
+    * weights so the DuckDB oracle reproduces the score bit-for-bit:
+    *
+    *  - lexicon feature: common-English cue words carry weight +40 (the
+    *    learned-embedding row of a real fastText model, frozen);
+    *  - token-shape features: clean lowercase word +8, digit-bearing −25,
+    *    other (punctuation/mixed) −10;
+    *  - hashing-trick OOV bucket: md5-bucket(token) mod 1024 → a zero-mean
+    *    pseudo-weight in [−10, +10] from a closed-form formula — the
+    *    hash-bucket weight table of the fastText input matrix.
+    *
+    * The document score is the SUM of token weights (exact integer — no
+    * division, so no negative-integer-division engine skew), and the keep
+    * decision compares mean token weight to a threshold via cross-
+    * multiplication: keep ⟺ score·1000 ≥ threshold_milli·n_tokens. All
+    * Column built-ins (split/filter/aggregate HOFs + md5/conv) — codegen'd,
+    * zero UDFs, one narrow pass.
+    */
+  val qualityLexicon: Seq[String] = Seq(
+    "the", "a", "and", "of", "is", "to", "in", "that", "it", "was",
+    "for", "on", "are", "as", "with")
+  val qualityLexiconWeight = 40L
+  val qualityThresholdMilli = 5000L
+
+  /** Per-token classifier weight as a Column (token assumed lowercased). */
+  private def tokenWeight(t: Column): Column = {
+    val shape = when(t.rlike("^[a-z]+$"), lit(8L))
+      .when(t.rlike("[0-9]"), lit(-25L))
+      .otherwise(lit(-10L))
+    val lex = when(t.isin(qualityLexicon: _*), lit(qualityLexiconWeight)).otherwise(lit(0L))
+    val bucket = conv(substring(md5(t), 1, 12), 16, 10).cast("long") % 1024L
+    val hashW = (bucket * 2654435761L) % 21L - 10L
+    shape + lex + hashW
+  }
+
+  /** (n_tokens, ft_score, keep) for a text column — see qualityLexicon. */
+  def qualityClassifierColumns(text: Column): Seq[Column] = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+    val n = size(toks).cast("bigint")
+    val score = aggregate(toks, lit(0L), (acc, t) => acc + tokenWeight(t))
+    Seq(
+      n.as("n_tokens"),
+      score.as("ft_score"),
+      (score * 1000L >= lit(qualityThresholdMilli) * n && n > 0).as("keep"))
+  }
+
   def rollingHash(s: String): Long = {
     val M = (1L << 61) - 1
     var h = 0L

@@ -706,4 +706,51 @@ class OperatorsSpec extends SparkSpec {
     val m = labels2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L until 32L).forall(m(_) == 0L))
   }
+
+  test("clusters: throws on non-convergence by default; degrades only when opted in") {
+    import spark.implicits._
+    val chain = (1L until 32L).map(d => (d - 1, d)).toDF("id1", "id2")
+    val docs = (0L until 32L).toDF("doc_id")
+    intercept[IllegalStateException] {
+      Dedup.clusters(docs, "doc_id", chain, maxIters = 1)
+    }
+    val degraded = Dedup.clusters(docs, "doc_id", chain, maxIters = 1, requireConverged = false)
+    assert(degraded.count() == 32)
+  }
+
+  test("quality classifier: separates planted good/bad docs; recall vs heuristic qualityColumns") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    // planted fixtures: clean stopword-rich English vs digit/punct spam
+    val good = (0 until 10).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog and it is a fine day " +
+        s"for all of them to run in the warm sun near variant$i"))
+    val bad = (10 until 20).map(i =>
+      (i.toLong, s"4711 99 $i 0x3f 12345 86 %%% !!! ??? *** 17-4 9.99 $$$i ((("))
+    val planted = (good ++ bad).toDF("doc_id", "text")
+    val scored = planted.select(col("doc_id") +:
+      TextAnalysis.qualityClassifierColumns(col("text")): _*).collect()
+    scored.foreach { r =>
+      val expectKeep = r.getLong(0) < 10
+      assert(r.getBoolean(3) == expectKeep,
+        s"doc ${r.getLong(0)} score=${r.getLong(2)} keep=${r.getBoolean(3)}")
+    }
+    // recall vs the heuristic quality filter on the real fixture corpus:
+    // of docs the ratio heuristic keeps, the classifier must keep >= 90%
+    val docs = Tables.read(spark, sfDir, "documents")
+    val both = docs.select(
+      (col("doc_id").cast("long").as("doc_id") +:
+        (TextAnalysis.qualityColumns(col("text")) ++
+          Seq(TextAnalysis.qualityClassifierColumns(col("text")).last.as("clf_keep")))): _*)
+      .withColumn("heur_keep",
+        col("punct_per_mille") <= 100L && col("n_tokens") >= 5L &&
+          col("mean_token_len_milli").between(2000L, 12000L))
+      .select(col("heur_keep"), col("clf_keep"))
+      .collect()
+    val heurKept = both.count(_.getBoolean(0))
+    val agree = both.count(r => r.getBoolean(0) && r.getBoolean(1))
+    assert(heurKept > 100, s"heuristic kept only $heurKept - fixture assumption broken")
+    assert(agree.toDouble / heurKept >= 0.9,
+      s"classifier recall ${agree.toDouble / heurKept} vs heuristic keep set $heurKept")
+  }
 }
