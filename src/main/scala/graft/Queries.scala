@@ -2142,6 +2142,17 @@ object Queries {
        |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
   }
 
+  /** Decontamination through the BLOOM path (the extreme-eval-size variant):
+    * same canaried fixture and same oracle SQL as q65 — the Bloom screen +
+    * exact re-check must be indistinguishable from the broadcast exact set,
+    * which is precisely what hash-gating it on q65's SQL verbatim proves.
+    */
+  def q76DecontamBloom(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminateBloom(
+      canariedDocs(s, dir), "doc_id", "text", col("doc_id") % 100 === 0, n = 8)
+
+  def q76Sql: String = q65Sql
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2217,7 +2228,8 @@ object Queries {
     "q71_thumbnail" -> ((q71Thumbnail _, q71Sql)),
     "q72_audio_meta" -> ((q72AudioMeta _, q72Sql)),
     "q73_ann_ivfpq" -> ((q73AnnIvfPq _, q73Sql)),
-    "q74_quality_clf" -> ((q74QualityClassifier _, q74Sql))
+    "q74_quality_clf" -> ((q74QualityClassifier _, q74Sql)),
+    "q76_decontam_bloom" -> ((q76DecontamBloom _, q76Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -395,6 +395,63 @@ object Dedup {
       .toDF(idCol, "contaminated")
   }
 
+  /** The extreme-eval-size decontamination variant the broadcast-set form
+    * documents: when the eval gram universe is too large to collect+
+    * broadcast as exact strings, ship a BLOOM FILTER of it instead (fixed
+    * size set by `expectedGrams`/`fpp`, independent of actual gram bytes)
+    * and recover exactness with one re-check join on the survivors:
+    *
+    *  1. build: one distributed `bloomFilter` aggregate over the eval grams
+    *     (driver holds ~1.2 MB per 1M grams at 1% fpp — bounded by the
+    *     PARAMETERS, never by eval text size);
+    *  2. screen (narrow, zero-shuffle): a corpus pass keeps only grams the
+    *     filter might contain — no false negatives by construction, so
+    *     every truly contaminated doc survives screening;
+    *  3. exact re-check: the screened (id, gram) rows — a tiny slice of the
+    *     corpus gram volume — semi-join the true eval gram set, turning
+    *     Bloom false positives back into clean docs.
+    *
+    * Output contract is identical to `decontaminate` (one row per TRAIN
+    * doc: idCol, contaminated), and DedupSpec proves the two paths equal on
+    * a corpus where false positives demonstrably occur.
+    */
+  def decontaminateBloom(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isEval: org.apache.spark.sql.Column,
+      n: Int = 8,
+      expectedGrams: Long = 1000000L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"), isEval.as("ev"))
+    val evalGrams = base.filter(col("ev")).select(col("text")).as[String]
+      .flatMap(wordGrams(_, n)).toDF("gram").distinct()
+    val bloomB = spark.sparkContext.broadcast(
+      evalGrams.stat.bloomFilter("gram", expectedGrams, fpp))
+    val train = base.filter(!col("ev")).select(col("id"), col("text"))
+    // screen + project in one narrow pass: emit only the (deduped) grams the
+    // filter might contain — the join input is the FP-rate-sized slice of
+    // the corpus, not its full gram volume
+    val candGrams = train.as[(Long, String)]
+      .mapPartitions { it =>
+        val bf = bloomB.value
+        it.flatMap { case (id, text) =>
+          wordGrams(text, n).filter(bf.mightContainString)
+            .toSet[String].iterator.map(g => (id, g))
+        }
+      }
+      .toDF("id", "gram")
+    val contaminated = candGrams.join(evalGrams, Seq("gram"), "left_semi")
+      .select(col("id")).distinct()
+      .withColumn("hit", lit(true))
+    train.select(col("id"))
+      .join(contaminated, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), coalesce(col("hit"), lit(false)).as("contaminated"))
+  }
+
   /** Word n-grams of whitespace-tokenized text; empty below n words. The
     * shared tokenization of decontaminate and its streaming form.
     */

@@ -718,6 +718,40 @@ class OperatorsSpec extends SparkSpec {
     assert(degraded.count() == 32)
   }
 
+  test("decontaminateBloom == decontaminate on a corpus where Bloom false positives occur") {
+    import spark.implicits._
+    // eval docs share the 'canary' gram family; train docs are distinct
+    // word-soup. A deliberately tiny, saturated filter (expected 5 items at
+    // fpp 0.5, ~100 inserted) makes mightContain fire on many non-member
+    // grams — which the exact re-check join must turn back into clean docs.
+    val n = 4
+    def evalText(i: Int) = s"eval canary phrase number $i shared benchmark gram family tail$i"
+    def cleanText(i: Int) = (0 until 12).map(j => s"w${i}x$j").mkString(" ")
+    def dirtyText(i: Int) = s"prefix$i eval canary phrase number ${i % 3} suffix$i pad pad pad"
+    val docs = ((0 until 10).map(i => (i.toLong, evalText(i), true)) ++
+      (100 until 160).map(i => (i.toLong, cleanText(i), false)) ++
+      (200 until 210).map(i => (i.toLong, dirtyText(i), false)))
+      .toDF("doc_id", "text", "ev")
+    val exact = Dedup.decontaminate(docs, "doc_id", "text", col("ev"), n)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bloom = Dedup.decontaminateBloom(docs, "doc_id", "text", col("ev"), n,
+        expectedGrams = 5L, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(bloom == exact)
+    assert(exact.count(_._2) == 10 && exact.size == 70)
+    // prove the test corpus actually exercises the FP path: rebuild the same
+    // filter (deterministic hashing) and count train grams that pass the
+    // screen but are NOT eval grams
+    val evalGramsDf = docs.filter(col("ev")).select(col("text")).as[String]
+      .flatMap(Dedup.wordGrams(_, n)).toDF("gram").distinct()
+    val bf = evalGramsDf.stat.bloomFilter("gram", 5L, 0.5)
+    val evalSet = evalGramsDf.as[String].collect().toSet
+    val fps = docs.filter(!col("ev")).select(col("text")).as[String].collect()
+      .flatMap(Dedup.wordGrams(_, n))
+      .filter(g => bf.mightContainString(g) && !evalSet.contains(g))
+    assert(fps.nonEmpty, "fixture produced no Bloom false positives - weaken the filter")
+  }
+
   test("quality classifier: separates planted good/bad docs; recall vs heuristic qualityColumns") {
     import spark.implicits._
     import graft.functions.TextAnalysis
