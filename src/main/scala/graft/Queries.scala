@@ -1578,8 +1578,8 @@ object Queries {
     * — e.g. "ivfcells_c16" — so a parameter change misses the cache instead
     * of probing a layout partitioned under different constants.
     */
-  private[graft] def layoutPath(kind: String, dir: String): String = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
+  private[graft] def layoutPath(kind: String, dir: String, srcTable: String = "embeddings"): String = {
+    val src = new java.io.File(s"$dir/$srcTable.parquet")
     // stamp = name + length + MTIME per file: a regenerated source whose
     // files happen to keep their byte sizes still changes mtime, so it can
     // never be served the previous generation's layout
@@ -1587,13 +1587,60 @@ object Queries {
     val stamp =
       if (src.isDirectory) src.listFiles().map(stampOf).sorted.mkString(",")
       else stampOf(src)
-    val tag = java.lang.Long.toHexString(Sketches.fnv1a(dir + "|" + stamp + "|" + LayoutVersion))
+    val tag = java.lang.Long.toHexString(
+      Sketches.fnv1a(dir + "|" + srcTable + "|" + stamp + "|" + LayoutVersion))
     s"${sys.props("java.io.tmpdir")}/graft_layout_${kind}_$tag"
   }
 
+  /** Build-once gate on an explicit completion marker (not parquet's
+    * _SUCCESS): layout builds are now MULTI-step (base write + incremental
+    * append, each a parquet job with its own _SUCCESS), so only a marker
+    * written after the LAST step can guarantee a half-built layout is
+    * rebuilt rather than served.
+    */
   private def ensureLayout(path: String)(build: => Unit): String = {
-    if (!new java.io.File(path, "_SUCCESS").exists()) build
+    val marker = new java.io.File(path, "_GRAFT_COMPLETE")
+    if (!marker.exists()) {
+      build
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
     path
+  }
+
+  // Every partitioned layout is built INCREMENTALLY — a base write of the
+  // even-id half, then an APPEND of the odd half — so the driver's oracle
+  // runs gate the append lifecycle itself every round: q61/q63/q64/q73 pass
+  // only if the merged layout is indistinguishable from a one-shot build.
+
+  /** The shared cell-partitioned IVF layout (q61, q64). */
+  private def ivfLayout(s: SparkSession, dir: String): String = {
+    val p = layoutPath("ivfcells_c16", dir)
+    ensureLayout(p) {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfWriteLayoutGate(s, emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", p, nCells = 16)
+      Ann.ivfAppendLayout(s, emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", p, nCells = 16)
+    }
+  }
+
+  /** The bucket-partitioned LSH layout (q63). */
+  private def lshLayout(s: SparkSession, dir: String): String = {
+    val p = layoutPath("lshbuckets_p5", dir)
+    ensureLayout(p) {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshWriteLayoutGate(s, emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", p, nPlanes = 5)
+      Ann.lshAppendLayout(s, emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", p, nPlanes = 5)
+    }
+  }
+
+  /** The cell-partitioned IVF-PQ index (q73). */
+  private def ivfPqLayout(s: SparkSession, dir: String): String = {
+    val p = layoutPath("ivfpq_c16m8k16", dir)
+    ensureLayout(p) {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfPqWriteLayout(s, emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", p)
+      Ann.ivfPqAppendLayout(s, emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", p)
+    }
   }
 
   /** IVF over the cell-PARTITIONED layout: same probe set and scores as q47
@@ -1605,8 +1652,7 @@ object Queries {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
-    val path = ensureLayout(layoutPath("ivfcells_c16", dir))(
-      Ann.ivfWriteLayoutGate(s, emb, "vec_id", "embedding", layoutPath("ivfcells_c16", dir), nCells = 16))
+    val path = ivfLayout(s, dir)
     Ann.ivfTopKPartitioned(s, path, "vec_id", "embedding", query, k = 20, nCells = 16, nProbe = 4)
   }
 
@@ -1621,8 +1667,7 @@ object Queries {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
-    val path = ensureLayout(layoutPath("lshbuckets_p5", dir))(
-      Ann.lshWriteLayoutGate(s, emb, "vec_id", "embedding", layoutPath("lshbuckets_p5", dir), nPlanes = 5))
+    val path = lshLayout(s, dir)
     Ann.lshTopKPartitioned(s, path, "vec_id", "embedding", query, k = 20, nPlanes = 5)
   }
 
@@ -1641,8 +1686,7 @@ object Queries {
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val path = ensureLayout(layoutPath("ivfcells_c16", dir))(
-      Ann.ivfWriteLayoutGate(s, emb, "vec_id", "embedding", layoutPath("ivfcells_c16", dir), nCells = 16))
+    val path = ivfLayout(s, dir)
     Ann.multiQueryIvfPartitioned(s, path, "vec_id", "embedding", queries, k = 20)
   }
 
@@ -2043,8 +2087,7 @@ object Queries {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0).select(col("embedding")).as[Array[Float]].head()
-    val path = ensureLayout(layoutPath("ivfpq_c16m8k16", dir))(
-      Ann.ivfPqWriteLayout(s, emb, "vec_id", "embedding", layoutPath("ivfpq_c16m8k16", dir)))
+    val path = ivfPqLayout(s, dir)
     Ann.ivfPqTopK(s, path, "vec_id", query, k = 20)
   }
 
@@ -2142,6 +2185,28 @@ object Queries {
        |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
   }
 
+  /** MinHash candidates over the MATERIALIZED signature table: the stored
+    * (id, sig) layout is built incrementally (base write + append — each
+    * doc is sketched ONCE, ever), then candidate generation runs over the
+    * stored signatures without touching document text at all. The oracle is
+    * q26's exact-Jaccard SQL verbatim, so the stored path must reproduce
+    * the recompute path exactly over the MERGED (write+append) layout —
+    * gating both the layout lifecycle and the sketch-once economics that
+    * make daily 100 TB dedup re-runs linear in the append, not the corpus.
+    */
+  def q75MinHashStored(s: SparkSession, dir: String): DataFrame = {
+    val p = layoutPath("minhashsig_h64s5", dir, srcTable = "documents")
+    val path = ensureLayout(p) {
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      Dedup.writeSignatureLayout(s, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+      Dedup.appendSignatureLayout(s, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
+    }
+    Dedup.minHashCandidates(s, s.read.parquet(path), bands = 16, minEstJaccard = 0.7)
+      .select(col("id1"), col("id2"))
+  }
+
+  def q75Sql: String = q26Sql
+
   /** Decontamination through the BLOOM path (the extreme-eval-size variant):
     * same canaried fixture and same oracle SQL as q65 — the Bloom screen +
     * exact re-check must be indistinguishable from the broadcast exact set,
@@ -2229,6 +2294,7 @@ object Queries {
     "q72_audio_meta" -> ((q72AudioMeta _, q72Sql)),
     "q73_ann_ivfpq" -> ((q73AnnIvfPq _, q73Sql)),
     "q74_quality_clf" -> ((q74QualityClassifier _, q74Sql)),
+    "q75_minhash_stored" -> ((q75MinHashStored _, q75Sql)),
     "q76_decontam_bloom" -> ((q76DecontamBloom _, q76Sql))
   )
 

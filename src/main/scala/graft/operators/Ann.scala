@@ -312,6 +312,33 @@ object Ann {
   // closed-form fnv1a family so every layout is DuckDB-reproducible from the
   // float source.
 
+  /** Cell-assigned form of an embeddings batch (None when empty): the
+    * shared narrow map behind both the full layout build and incremental
+    * append — assignment is a pure function of the vector, so a vector
+    * lands in the SAME cell whether written at build time or appended
+    * later (what makes append correct without touching existing files).
+    */
+  private def ivfAssigned(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int
+  ): Option[DataFrame] = {
+    import spark.implicits._
+    val first = embeddings.select(col(vecCol)).as[Array[Float]].take(1)
+    if (first.isEmpty) return None
+    val cents = spark.sparkContext.broadcast(intCentroids(first.head.length, nCells))
+    Some(embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = cents.value
+        it.map { case (id, v) => (id, v, rankCellsInt(milliScaled(v), cs)(0)) }
+      }
+      .toDF(idCol, vecCol, "cell"))
+  }
+
   /** Materialize embeddings physically partitioned by gate-centroid cell id:
     * assignment is a narrow map (no shuffle — each write task writes its
     * rows into the partition dirs it holds); the layout is deterministic
@@ -324,21 +351,31 @@ object Ann {
       vecCol: String,
       path: String,
       nCells: Int = 16
-  ): Unit = {
-    import spark.implicits._
-    val first = embeddings.select(col(vecCol)).as[Array[Float]].take(1)
-    if (first.isEmpty) return
-    val cents = spark.sparkContext.broadcast(intCentroids(first.head.length, nCells))
-    embeddings
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cs = cents.value
-        it.map { case (id, v) => (id, v, rankCellsInt(milliScaled(v), cs)(0)) }
-      }
-      .toDF(idCol, vecCol, "cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-  }
+  ): Unit =
+    ivfAssigned(spark, embeddings, idCol, vecCol, nCells).foreach { df =>
+      graft.sources.Tables.format.writePartitioned(df, path, "cell")
+      graft.sources.Tables.recordLayoutLineage(path, "build", embeddings, idCol)
+    }
+
+  /** Incremental refresh of a cell-partitioned layout: assign the NEW
+    * vectors (same closed-form centroids — appended rows land in the same
+    * cells a full rebuild would put them in) and append their files into
+    * the existing partition dirs. Existing files are untouched, probes
+    * prune exactly as before, and the lineage log records the batch — the
+    * daily-growth lifecycle of a 100 TB index without a rebuild.
+    */
+  def ivfAppendLayout(
+      spark: SparkSession,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCells: Int = 16
+  ): Unit =
+    ivfAssigned(spark, newVectors, idCol, vecCol, nCells).foreach { df =>
+      graft.sources.Tables.format.appendPartitioned(df, path, "cell")
+      graft.sources.Tables.recordLayoutLineage(path, "append", newVectors, idCol)
+    }
 
   /** Probe-limited IVF over the cell-partitioned layout: the `cell IN
     * (probe set)` predicate is a PARTITION filter, so the scan lists and
@@ -382,21 +419,51 @@ object Ann {
       vecCol: String,
       path: String,
       nPlanes: Int = 5
-  ): Unit = {
+  ): Unit =
+    lshAssigned(spark, embeddings, idCol, vecCol, nPlanes).foreach { df =>
+      graft.sources.Tables.format.writePartitioned(df, path, "bucket")
+      graft.sources.Tables.recordLayoutLineage(path, "build", embeddings, idCol)
+    }
+
+  /** Bucket-assigned form of an embeddings batch — the ivfAssigned twin for
+    * the hyperplane family.
+    */
+  private def lshAssigned(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int
+  ): Option[DataFrame] = {
     import spark.implicits._
     val first = embeddings.select(col(vecCol)).as[Array[Float]].take(1)
-    if (first.isEmpty) return
+    if (first.isEmpty) return None
     val planes = spark.sparkContext.broadcast(intPlanes(first.head.length, nPlanes))
-    embeddings
+    Some(embeddings
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val pl = planes.value
         it.map { case (id, v) => (id, v, signBitsInt(milliScaled(v), pl)) }
       }
-      .toDF(idCol, vecCol, "bucket")
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .toDF(idCol, vecCol, "bucket"))
   }
+
+  /** Incremental refresh of the bucket-partitioned layout (see
+    * ivfAppendLayout — same lifecycle, hyperplane-bucket partitioning).
+    */
+  def lshAppendLayout(
+      spark: SparkSession,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nPlanes: Int = 5
+  ): Unit =
+    lshAssigned(spark, newVectors, idCol, vecCol, nPlanes).foreach { df =>
+      graft.sources.Tables.format.appendPartitioned(df, path, "bucket")
+      graft.sources.Tables.recordLayoutLineage(path, "append", newVectors, idCol)
+    }
 
   /** Probe-limited LSH over the bucket-partitioned layout: the query's
     * Hamming≤1 probe set (nPlanes+1 of 2^nPlanes buckets) prunes partition
@@ -439,13 +506,36 @@ object Ann {
       vecCol: String,
       path: String
   ): Unit = {
+    int8Quantized(spark, embeddings, idCol, vecCol).write.mode("overwrite").parquet(path)
+    graft.sources.Tables.recordLayoutLineage(path, "build", embeddings, idCol)
+  }
+
+  private def int8Quantized(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
     import spark.implicits._
     embeddings
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, quantizeInt8(v)) }
       .toDF(idCol, "qvec")
-      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Incremental refresh of the stored-int8 layout: quantize the new batch
+    * (same closed-form quantizer) and append.
+    */
+  def int8AppendLayout(
+      spark: SparkSession,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String
+  ): Unit = {
+    graft.sources.Tables.format.append(int8Quantized(spark, newVectors, idCol, vecCol), path)
+    graft.sources.Tables.recordLayoutLineage(path, "append", newVectors, idCol)
   }
 
   /** Brute-force top-k over the STORED int8 column: the scan reads the 64 B
@@ -582,21 +672,50 @@ object Ann {
       path: String,
       m: Int = 8,
       kw: Int = 16
-  ): Unit = {
+  ): Unit =
+    pqCoded(spark, embeddings, idCol, vecCol, m, kw).foreach { df =>
+      df.write.mode("overwrite").parquet(path)
+      graft.sources.Tables.recordLayoutLineage(path, "build", embeddings, idCol)
+    }
+
+  private def pqCoded(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      kw: Int
+  ): Option[DataFrame] = {
     import spark.implicits._
     val first = embeddings.select(col(vecCol)).as[Array[Float]].take(1)
-    if (first.isEmpty) return
+    if (first.isEmpty) return None
     val books = spark.sparkContext.broadcast(pqCodebooks(first.head.length, m, kw))
-    embeddings
+    Some(embeddings
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val b = books.value
         it.map { case (id, v) => (id, pqAssign(milliScaled(v), b)) }
       }
-      .toDF(idCol, "codes")
-      .write.mode("overwrite").parquet(path)
+      .toDF(idCol, "codes"))
   }
+
+  /** Incremental refresh of the stored-codes layout: encode the new batch
+    * with the same closed-form codebooks and append.
+    */
+  def pqAppendLayout(
+      spark: SparkSession,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      m: Int = 8,
+      kw: Int = 16
+  ): Unit =
+    pqCoded(spark, newVectors, idCol, vecCol, m, kw).foreach { df =>
+      graft.sources.Tables.format.append(df, path)
+      graft.sources.Tables.recordLayoutLineage(path, "append", newVectors, idCol)
+    }
 
   /** ADC scoring + top-k over a (id, codes) frame — THE one definition of
     * the stored-codes scoring loop, shared by the flat PQ scan and the
@@ -662,14 +781,28 @@ object Ann {
       nCells: Int = 16,
       m: Int = 8,
       kw: Int = 16
-  ): Unit = {
+  ): Unit =
+    ivfPqAssigned(spark, embeddings, idCol, vecCol, nCells, m, kw).foreach { df =>
+      graft.sources.Tables.format.writePartitioned(df, path, "cell")
+      graft.sources.Tables.recordLayoutLineage(path, "build", embeddings, idCol)
+    }
+
+  private def ivfPqAssigned(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      m: Int,
+      kw: Int
+  ): Option[DataFrame] = {
     import spark.implicits._
     val first = embeddings.select(col(vecCol)).as[Array[Float]].take(1)
-    if (first.isEmpty) return
+    if (first.isEmpty) return None
     val dim = first.head.length
     val cents = spark.sparkContext.broadcast(intCentroids(dim, nCells))
     val books = spark.sparkContext.broadcast(pqCodebooks(dim, m, kw))
-    embeddings
+    Some(embeddings
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -679,9 +812,27 @@ object Ann {
           (id, pqAssign(a, b), rankCellsInt(a, cs)(0))
         }
       }
-      .toDF(idCol, "codes", "cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .toDF(idCol, "codes", "cell"))
   }
+
+  /** Incremental refresh of the IVF-PQ index: encode + cell-assign the new
+    * batch (both closed-form, so appended rows are byte-identical to what a
+    * full rebuild would produce) and append into the cell partitions.
+    */
+  def ivfPqAppendLayout(
+      spark: SparkSession,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCells: Int = 16,
+      m: Int = 8,
+      kw: Int = 16
+  ): Unit =
+    ivfPqAssigned(spark, newVectors, idCol, vecCol, nCells, m, kw).foreach { df =>
+      graft.sources.Tables.format.appendPartitioned(df, path, "cell")
+      graft.sources.Tables.recordLayoutLineage(path, "append", newVectors, idCol)
+    }
 
   /** IVF-PQ top-k: partition-pruned scan of the probed cells, ADC scoring
     * over the stored codes. Rows equal "PQ ADC restricted to the gate-IVF

@@ -76,22 +76,29 @@ object Dedup {
       bands: Int = 16,
       minEstJaccard: Double = 0.5
   ): DataFrame = {
-    import spark.implicits._
     // band the ids only — the bucket self-join and pair-dedup shuffles move
     // 16-byte pairs, not 8 KB signature arrays (64 hashes × 8 B × 16 bands);
     // signatures are joined back once per surviving pair
-    val banded = sigs
-      .as[(Long, Array[Long])]
-      .flatMap { case (id, sig) =>
-        Sketches.bandKeys(sig, bands).map { case (b, k) => (id, b, k) }
-      }
-      .toDF("id", "band", "bkey")
-    val l = banded.select(col("band"), col("bkey"), col("id").as("id1"))
-    val r = banded.select(col("band"), col("bkey"), col("id").as("id2"))
+    val keys = banded(spark, sigs, bands)
+    val l = keys.select(col("band"), col("bkey"), col("id").as("id1"))
+    val r = keys.select(col("band"), col("bkey"), col("id").as("id2"))
     val pairs = l.join(r, Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
+    estimatePairs(spark, sigs, pairs, minEstJaccard)
+  }
+
+  /** The shared candidate tail: join signatures back per surviving pair and
+    * keep pairs whose signature-estimated Jaccard clears the bar.
+    */
+  private def estimatePairs(
+      spark: SparkSession,
+      sigs: DataFrame,
+      pairs: DataFrame,
+      minEstJaccard: Double
+  ): DataFrame = {
+    import spark.implicits._
     val s1 = sigs.select(col("id").as("id1"), col("sig").as("sig1"))
     val s2 = sigs.select(col("id").as("id2"), col("sig").as("sig2"))
     pairs
@@ -102,6 +109,90 @@ object Dedup {
       .map { case (a, b, sg1, sg2) => (a, b, Sketches.estJaccard(sg1, sg2)) }
       .toDF("id1", "id2", "est_jaccard")
       .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Banded (id, band, bkey) rows of a signature table — the LSH key
+    * explode shared by the full and incremental candidate paths.
+    */
+  private def banded(spark: SparkSession, sigs: DataFrame, bands: Int): DataFrame = {
+    import spark.implicits._
+    sigs
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        Sketches.bandKeys(sig, bands).map { case (b, k) => (id, b, k) }
+      }
+      .toDF("id", "band", "bkey")
+  }
+
+  // -------------------------------------------- materialized signature table
+
+  /** Materialize the (id, sig) MinHash signature table through the table-
+    * format seam — the layout that makes 100 TB dedup re-runnable daily:
+    * signatures are computed ONCE per document ever; a corpus append
+    * computes signatures for the NEW batch only (appendSignatureLayout) and
+    * bands them against the stored table (minHashCandidatesIncremental),
+    * instead of re-sketching the whole corpus per run. Lineage rows record
+    * which batches are in the table.
+    */
+  def writeSignatureLayout(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numHashes: Int = 64,
+      shingleN: Int = 5
+  ): Unit = {
+    minHashSignatures(spark, docs, idCol, textCol, numHashes, shingleN)
+      .write.mode("overwrite").parquet(path)
+    graft.sources.Tables.recordLayoutLineage(path, "build", docs, idCol)
+  }
+
+  /** Incremental refresh: sketch ONLY the new batch, append. The hash
+    * family is closed-form, so appended signatures are identical to what a
+    * full rebuild would compute.
+    */
+  def appendSignatureLayout(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numHashes: Int = 64,
+      shingleN: Int = 5
+  ): Unit = {
+    graft.sources.Tables.format.append(
+      minHashSignatures(spark, newDocs, idCol, textCol, numHashes, shingleN), path)
+    graft.sources.Tables.recordLayoutLineage(path, "append", newDocs, idCol)
+  }
+
+  /** Incremental candidate generation after a corpus append: band the NEW
+    * batch's signatures against the full stored table and emit only pairs
+    * touching at least one new doc (old–old pairs were produced by earlier
+    * runs — re-emitting them would redo the whole corpus's pair work every
+    * day). Union(previous candidates, this) == candidates over the full
+    * corpus — the invariant DedupSpec proves. The join's left side is the
+    * new batch only, so the per-append cost scales with the APPEND, not
+    * the corpus.
+    */
+  def minHashCandidatesIncremental(
+      spark: SparkSession,
+      allSigs: DataFrame,
+      newSigs: DataFrame,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.5
+  ): DataFrame = {
+    val l = banded(spark, newSigs, bands)
+      .select(col("band"), col("bkey"), col("id").as("idn"))
+    val r = banded(spark, allSigs, bands)
+      .select(col("band"), col("bkey"), col("id").as("ida"))
+    val pairs = l.join(r, Seq("band", "bkey"))
+      .filter(col("idn") =!= col("ida"))
+      .select(
+        least(col("idn"), col("ida")).as("id1"),
+        greatest(col("idn"), col("ida")).as("id2"))
+      .dropDuplicates("id1", "id2")
+    estimatePairs(spark, allSigs, pairs, minEstJaccard)
   }
 
   /** SimHash sketches (id, simhash). */

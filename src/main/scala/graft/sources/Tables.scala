@@ -35,6 +35,19 @@ trait TableFormat {
 
   /** Append rows (the manifest log write; an Iceberg table append). */
   def append(df: DataFrame, path: String): Unit
+
+  /** Full-table layout build partitioned by an EXPLICIT semantic column
+    * (IVF cell, LSH bucket) — overwrite semantics.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit
+
+  /** Append rows INTO an existing partitioned layout: new files land inside
+    * the partition dirs their rows belong to, existing files untouched —
+    * Iceberg's append on a partitioned table. This is the incremental-
+    * refresh primitive for write-once-query-many layouts (a corpus grows
+    * daily; rebuilding a 100 TB index for 0.1% new vectors is not a plan).
+    */
+  def appendPartitioned(df: DataFrame, path: String, partCol: String): Unit
 }
 
 object ParquetFormat extends TableFormat {
@@ -52,6 +65,12 @@ object ParquetFormat extends TableFormat {
 
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
+
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  def appendPartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("append").partitionBy(partCol).parquet(path)
 }
 
 /** Thin IO layer for the named input tables. Keeps every read channel in
@@ -65,6 +84,30 @@ object Tables {
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Layout lineage: one row appended per layout mutation, under
+    * `<layoutPath>/_lineage` (the underscore prefix keeps it invisible to
+    * the layout's data scan): (op, rows, id_fp, run_seq). `id_fp` is the
+    * Manifest family's order-independent xor fingerprint of the batch's
+    * ids, so an auditor can answer "which source batches are IN this
+    * layout, and does the union still match the source?" without listing
+    * data files. One tiny aggregate over the (column-pruned) batch ids.
+    */
+  def recordLayoutLineage(path: String, op: String, batch: DataFrame, idCol: String): Unit = {
+    val row = batch
+      .agg(
+        count(lit(1)).as("rows"),
+        graft.pipeline.Manifest.fingerprintCol(Seq(col(idCol))).as("id_fp"))
+      .select(
+        lit(op).as("op"),
+        col("rows"),
+        col("id_fp"),
+        lit(System.currentTimeMillis()).as("run_seq"))
+    format.append(row, s"$path/_lineage")
+  }
+
+  def readLayoutLineage(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_lineage")
 
 
   /** The pipeline's input page table in BASELINE.json input_hint shape

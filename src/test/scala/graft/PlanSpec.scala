@@ -295,6 +295,46 @@ class PlanSpec extends SparkSpec {
       s"no file pruning: pruned=$filesPruned all=$filesAll")
   }
 
+  test("IVF layout append: merged layout equals one-shot build; probe still prunes; lineage recorded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_append").toFile.toString
+    val pSplit = s"$tmp/split"
+    val pOne = s"$tmp/oneshot"
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    // base build from 2/3 of the corpus, then append the remaining third
+    operators.Ann.ivfWriteLayoutGate(spark, emb.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", pSplit, nCells = 16)
+    operators.Ann.ivfAppendLayout(spark, emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", pSplit, nCells = 16)
+    operators.Ann.ivfWriteLayoutGate(spark, emb, "vec_id", "embedding", pOne, nCells = 16)
+    // appended rows landed in the same cells a full rebuild assigns
+    def cellCounts(p: String) = spark.read.parquet(p).groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cellCounts(pSplit) == cellCounts(pOne))
+    // probe over the merged layout == probe over the one-shot layout
+    val qv = emb.filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+    def topk(p: String) = operators.Ann
+      .ivfTopKPartitioned(spark, p, "vec_id", "embedding", qv, k = 20, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(topk(pSplit) == topk(pOne))
+    // the probe still reads ONLY the probed cells' files — append must not
+    // break partition pruning (appended files live inside cell dirs)
+    val probe = operators.Ann
+      .rankCellsInt(operators.Ann.milliScaled(qv), operators.Ann.intCentroids(qv.length, 16))
+      .take(4).toSeq
+    val layout = spark.read.parquet(pSplit)
+    val filesAll = layout.select(input_file_name()).distinct().count()
+    val filesPruned = layout.filter(col("cell").isin(probe.map(Int.box): _*))
+      .select(input_file_name()).distinct().count()
+    assert(filesPruned > 0 && filesPruned < filesAll,
+      s"merged layout lost file pruning: pruned=$filesPruned all=$filesAll")
+    // lineage: build + append rows cover every vector exactly once
+    val lin = Tables.readLayoutLineage(spark, pSplit).collect()
+    assert(lin.map(_.getAs[String]("op")).sorted.toSeq == Seq("append", "build"))
+    assert(lin.map(_.getAs[Long]("rows")).sum == emb.count())
+  }
+
   test("stored-int8 native scoring: no object fence; rows equal the typed stored form") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

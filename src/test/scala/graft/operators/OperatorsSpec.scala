@@ -718,6 +718,36 @@ class OperatorsSpec extends SparkSpec {
     assert(degraded.count() == 32)
   }
 
+  test("signature layout append: incremental candidates find cross-batch pairs; old ∪ incremental == full") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_sig_layout").toFile.toString + "/sigs"
+    val docs = Tables.read(spark, sfDir, "documents")
+    val batchA = docs.filter(col("doc_id") % 2 === 0)
+    val batchB = docs.filter(col("doc_id") % 2 =!= 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // day 1: build from batch A, run candidates (what that run would emit)
+    Dedup.writeSignatureLayout(spark, batchA, "doc_id", "text", path)
+    val before = pairSet(Dedup.minHashCandidates(spark, spark.read.parquet(path), 16, 0.7))
+    // day 2: append batch B's signatures (sketch the NEW docs only), then
+    // incremental candidates = new batch banded against the full table
+    Dedup.appendSignatureLayout(spark, batchB, "doc_id", "text", path)
+    val all = spark.read.parquet(path)
+    val newSigs = Dedup.minHashSignatures(spark, batchB, "doc_id", "text")
+    val inc = pairSet(Dedup.minHashCandidatesIncremental(spark, all, newSigs, 16, 0.7))
+    // the two runs together equal one full-corpus run over the merged table
+    val full = pairSet(Dedup.minHashCandidates(spark, all, 16, 0.7))
+    assert((before ++ inc) == full, s"union ${(before ++ inc).size} vs full ${full.size}")
+    // incremental emits ONLY pairs touching the new batch — and does find
+    // pairs SPANNING the batches (the fixture plants cross-parity near-dups)
+    assert(inc.forall { case (a, b) => a % 2 != 0 || b % 2 != 0 })
+    assert(inc.exists { case (a, b) => a % 2 != b % 2 }, "no cross-batch pair found")
+    // lineage recorded both mutations and accounts for every doc
+    val lin = Tables.readLayoutLineage(spark, path).collect()
+    assert(lin.map(_.getAs[String]("op")).sorted.toSeq == Seq("append", "build"))
+    assert(lin.map(_.getAs[Long]("rows")).sum == docs.count())
+  }
+
   test("decontaminateBloom == decontaminate on a corpus where Bloom false positives occur") {
     import spark.implicits._
     // eval docs share the 'canary' gram family; train docs are distinct
