@@ -1861,9 +1861,10 @@ object Queries {
     * eval-gram set, canaried fixture) computed in ONE narrow pass over the
     * corpus (Curation.metrics — the same code the streaming form runs),
     * the shared keep thresholds (Curation.keepFilter), then the exact-dedup
-    * min-id survivor pick over the kept set — the digest-keyed aggregate is
-    * the only wide op in the whole flow. The oracle reuses the component
-    * queries' SQL verbatim as scoped subqueries over the canaried corpus.
+    * min-id survivor pick over the kept set — a digest-keyed window-min,
+    * the only wide op in the whole flow, leaving the corpus read exactly
+    * ONCE end to end. The oracle reuses the component queries' SQL verbatim
+    * as scoped subqueries over the canaried corpus.
     */
   def q67CurateCorpus(s: SparkSession, dir: String): DataFrame = {
     val canaried = canariedDocs(s, dir)
@@ -1872,9 +1873,16 @@ object Queries {
     val train = canaried.filter(col("doc_id") % 100 =!= 0)
     val keep = Curation.metrics(train, "doc_id", "text", evalGrams)
       .filter(Curation.keepFilter)
-    val withFp = keep.withColumn("fp", Dedup.contentFingerprint(col("text")))
-    val surv = withFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-    withFp.join(surv, Seq("fp", "doc_id"), "left_semi")
+    // survivor pick as a window-min over the digest — NOT groupBy + semi-
+    // join, which would evaluate the metrics subtree twice and scan the
+    // corpus twice. This way the whole flagship is ONE read of documents
+    // (PlanSpec-asserted) and ONE wide op (the fp exchange the window
+    // sorts behind).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Dedup.contentFingerprint(col("text")))
+    keep
+      .withColumn("min_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("min_id"))
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("rep_micro"))
   }
 

@@ -286,15 +286,18 @@ object Dedup {
   // ------------------------------------------------ cluster resolution (CC)
 
   /** large-star: every node connects its strictly-larger neighbors to the
-    * minimum of its neighborhood (including itself). One groupBy shuffle on
-    * the node id; rows are (Long, Long) pairs only.
+    * minimum of its neighborhood (including itself). The neighborhood min
+    * rides a WINDOW over the node id rather than groupBy + join-back: the
+    * same per-row semantics with ONE shuffle of the edge set instead of two
+    * (agg + join re-shuffle) and one scan instead of two — per star the
+    * round drops from 3 exchanges to 2. Rows are (Long, Long) pairs only.
     */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("u"), col("v"))
       .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-    val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
-      .select(col("u"), least(col("mv"), col("u")).as("m"))
-    sym.join(m, Seq("u"))
+    val w = Window.partitionBy("u")
+    sym
+      .withColumn("m", least(min(col("v")).over(w), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .distinct()
@@ -302,15 +305,24 @@ object Dedup {
 
   /** small-star: orient edges toward the smaller endpoint, then every node
     * connects its ≤-neighbors (and itself) to the neighborhood minimum.
+    * Window-min like largeStar, with BOTH output legs (v → m and u → m)
+    * emitted from the one windowed pass by a narrow explode — a unionAll of
+    * two references would evaluate the window twice. The u → m leg appears
+    * once per row rather than once per node; the trailing distinct
+    * collapses the duplicates, so set semantics are unchanged and no extra
+    * exchange is spent deduplicating the leg early.
     */
   private def smallStar(edges: DataFrame): DataFrame = {
     val oriented = edges
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
-    val m = oriented.groupBy("u").agg(min(col("v")).as("m"))
-    oriented.join(m, Seq("u"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .unionAll(m.select(col("u"), col("m").as("v")))
+    val w = Window.partitionBy("u")
+    oriented
+      .withColumn("m", min(col("v")).over(w))
+      .select(explode(array(
+        struct(col("v").as("u"), col("m").as("v")),
+        struct(col("u").as("u"), col("m").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
   }

@@ -295,6 +295,19 @@ class PlanSpec extends SparkSpec {
       s"no file pruning: pruned=$filesPruned all=$filesAll")
   }
 
+  test("q67: the curation flagship reads the corpus exactly ONCE (fused metrics + window survivor)") {
+    val df = Queries.q67CurateCorpus(spark, sfDir)
+    val scans = initialPlan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // one FileSourceScan total: metrics, filters, fingerprint, and the
+    // survivor pick all hang off a single read of documents (the eval-gram
+    // broadcast is a separate bounded pre-job, not part of this plan)
+    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}:\n${initialPlan(df)}")
+    assert(scans.head.metadata("Location").contains("documents"),
+      scans.head.metadata("Location"))
+  }
+
   test("IVF layout append: merged layout equals one-shot build; probe still prunes; lineage recorded") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, input_file_name}
