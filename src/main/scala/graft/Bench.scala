@@ -151,7 +151,12 @@ object Bench {
       "q61_ann_ivf_part" -> (Queries.q61AnnIvfPart _),
       "q62_ann_pq" -> (Queries.q62AnnPq _),
       "q67_curate_corpus" -> (Queries.q67CurateCorpus _),
-      "q73_ann_ivfpq" -> (Queries.q73AnnIvfPq _)
+      "q73_ann_ivfpq" -> (Queries.q73AnnIvfPq _),
+      // round 5: the linear quality classifier (one codegen'd pass) and
+      // candidates over the STORED signature table (no re-sketching — the
+      // number to compare against q26, which recomputes signatures per run)
+      "q74_quality_clf" -> (Queries.q74QualityClassifier _),
+      "q75_minhash_stored" -> (Queries.q75MinHashStored _)
     )
     val sHead = session(cpus)
     // per-query engine cost: task run time accumulated per timed window —

@@ -2202,18 +2202,44 @@ object Queries {
     * gating both the layout lifecycle and the sketch-once economics that
     * make daily 100 TB dedup re-runs linear in the append, not the corpus.
     */
-  def q75MinHashStored(s: SparkSession, dir: String): DataFrame = {
+  /** The shared stored-signature layout (q75, q77): built incrementally —
+    * even-id base write, odd-id append — like the ANN layouts.
+    */
+  private def sigLayout(s: SparkSession, dir: String): String = {
     val p = layoutPath("minhashsig_h64s5", dir, srcTable = "documents")
-    val path = ensureLayout(p) {
+    ensureLayout(p) {
       val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
       Dedup.writeSignatureLayout(s, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
       Dedup.appendSignatureLayout(s, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
     }
-    Dedup.minHashCandidates(s, s.read.parquet(path), bands = 16, minEstJaccard = 0.7)
+  }
+
+  def q75MinHashStored(s: SparkSession, dir: String): DataFrame = {
+    Dedup.minHashCandidates(s, s.read.parquet(sigLayout(s, dir)), bands = 16, minEstJaccard = 0.7)
       .select(col("id1"), col("id2"))
   }
 
   def q75Sql: String = q26Sql
+
+  /** The INCREMENTAL candidate path itself, oracle-gated: signatures for
+    * the "new" (odd-id) batch banded against the full stored table must
+    * produce exactly the full corpus's near-dup pairs that touch at least
+    * one new doc — which is what the oracle computes (q26's exact-Jaccard
+    * SQL restricted to pairs with an odd endpoint). Together with q75 this
+    * gates both halves of the daily-append contract:
+    * union(yesterday's pairs, today's increment) == full recompute.
+    */
+  def q77MinHashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = s.read.parquet(sigLayout(s, dir))
+    val newSigs = all.filter(col("id") % 2 =!= 0)
+    Dedup.minHashCandidatesIncremental(s, all, newSigs, bands = 16, minEstJaccard = 0.7)
+      .select(col("id1"), col("id2"))
+  }
+
+  def q77Sql: String =
+    s"""SELECT id1, id2 FROM (
+       |${q26Sql}
+       |) WHERE id1 % 2 = 1 OR id2 % 2 = 1""".stripMargin
 
   /** Decontamination through the BLOOM path (the extreme-eval-size variant):
     * same canaried fixture and same oracle SQL as q65 — the Bloom screen +
@@ -2303,7 +2329,8 @@ object Queries {
     "q73_ann_ivfpq" -> ((q73AnnIvfPq _, q73Sql)),
     "q74_quality_clf" -> ((q74QualityClassifier _, q74Sql)),
     "q75_minhash_stored" -> ((q75MinHashStored _, q75Sql)),
-    "q76_decontam_bloom" -> ((q76DecontamBloom _, q76Sql))
+    "q76_decontam_bloom" -> ((q76DecontamBloom _, q76Sql)),
+    "q77_minhash_incr" -> ((q77MinHashIncremental _, q77Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):
