@@ -17,10 +17,26 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    Seq("q51" -> (Queries.q51AnnMulti _), "q54" -> (Queries.q54Boilerplate _),
-        "q55" -> (Queries.q55Nodes _), "q56" -> (Queries.q56EmbedLink _),
-        "q57" -> (Queries.q57PiiRedact _), "q27g" -> (Queries.q27SimHashGate _)).foreach { case (n, f) =>
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    // optional arg: audit specific queries by name (default: the historical
+    // eyeball set); with SPARK_GRAFT_AUDIT_TIME=1, also run each query
+    // twice (warm + timed) and report wall + task-seconds — the quick
+    // "where does the time go" loop without a full bench run
+    val all: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "q51" -> (Queries.q51AnnMulti _), "q54" -> (Queries.q54Boilerplate _),
+      "q55" -> (Queries.q55Nodes _), "q56" -> (Queries.q56EmbedLink _),
+      "q57" -> (Queries.q57PiiRedact _), "q27g" -> (Queries.q27SimHashGate _),
+      "q26" -> (Queries.q26MinHashPairs _), "q75" -> (Queries.q75MinHashStored _),
+      "q49" -> (Queries.q49Components _), "q67" -> (Queries.q67CurateCorpus _))
+    val picked = if (args.isEmpty) all.take(6) else all.filter(q => args.contains(q._1))
+    val timeIt = sys.env.get("SPARK_GRAFT_AUDIT_TIME").contains("1")
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    if (timeIt) spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+    })
+    picked.foreach { case (n, f) =>
       val df = f(spark, dir)
       val p = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.initialPlan
@@ -28,7 +44,15 @@ object PlanAudit {
       }
       val sh = p.collect { case e: ShuffleExchangeLike => e }.size
       val bc = p.collect { case e: BroadcastExchangeLike => e }.size
-      println(s"[audit] $n shuffles=$sh broadcasts=$bc")
+      if (timeIt) {
+        f(spark, dir).count() // warm
+        org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
+        val t0v = taskMs.get(); val t0 = System.nanoTime()
+        f(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
+        println(f"[audit] $n shuffles=$sh broadcasts=$bc wall=$wall%.2fs task=${(taskMs.get() - t0v) / 1000.0}%.2fs")
+      } else println(s"[audit] $n shuffles=$sh broadcasts=$bc")
     }
     spark.stop()
   }
