@@ -29,6 +29,9 @@ object PlanAudit {
       "q26" -> (Queries.q26MinHashPairs _), "q75" -> (Queries.q75MinHashStored _),
       "q49" -> (Queries.q49Components _), "q67" -> (Queries.q67CurateCorpus _))
     val picked = if (args.isEmpty) all.take(6) else all.filter(q => args.contains(q._1))
+    val unknown = args.filterNot(all.map(_._1).contains)
+    require(unknown.isEmpty,
+      s"unknown audit queries: ${unknown.mkString(", ")} (known: ${all.map(_._1).mkString(", ")})")
     val timeIt = sys.env.get("SPARK_GRAFT_AUDIT_TIME").contains("1")
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
     if (timeIt) spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

@@ -183,9 +183,13 @@ object TextAnalysis {
     shape + lex + hashW
   }
 
-  /** (n_tokens, ft_score, keep) for a text column — see qualityLexicon. */
+  /** (n_tokens, ft_score, keep) for a text column — see qualityLexicon.
+    * NULL text is scored as empty (0, 0, false) — matching the oracle's
+    * LEFT JOIN + coalesce shape — rather than propagating NULL through the
+    * whole feature chain.
+    */
   def qualityClassifierColumns(text: Column): Seq[Column] = {
-    val toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+    val toks = filter(split(lower(trim(coalesce(text, lit("")))), "\\s+"), t => t =!= "")
     val n = size(toks).cast("bigint")
     val score = aggregate(toks, lit(0L), (acc, t) => acc + tokenWeight(t))
     Seq(

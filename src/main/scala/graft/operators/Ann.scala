@@ -506,7 +506,8 @@ object Ann {
       vecCol: String,
       path: String
   ): Unit = {
-    int8Quantized(spark, embeddings, idCol, vecCol).write.mode("overwrite").parquet(path)
+    if (embeddings.take(1).isEmpty) return
+    graft.sources.Tables.format.write(int8Quantized(spark, embeddings, idCol, vecCol), path)
     graft.sources.Tables.recordLayoutLineage(path, "build", embeddings, idCol)
   }
 
@@ -534,6 +535,7 @@ object Ann {
       vecCol: String,
       path: String
   ): Unit = {
+    if (newVectors.take(1).isEmpty) return // the None guard of the siblings
     graft.sources.Tables.format.append(int8Quantized(spark, newVectors, idCol, vecCol), path)
     graft.sources.Tables.recordLayoutLineage(path, "append", newVectors, idCol)
   }
@@ -674,7 +676,7 @@ object Ann {
       kw: Int = 16
   ): Unit =
     pqCoded(spark, embeddings, idCol, vecCol, m, kw).foreach { df =>
-      df.write.mode("overwrite").parquet(path)
+      graft.sources.Tables.format.write(df, path)
       graft.sources.Tables.recordLayoutLineage(path, "build", embeddings, idCol)
     }
 

@@ -143,8 +143,8 @@ object Dedup {
       numHashes: Int = 64,
       shingleN: Int = 5
   ): Unit = {
-    minHashSignatures(spark, docs, idCol, textCol, numHashes, shingleN)
-      .write.mode("overwrite").parquet(path)
+    graft.sources.Tables.format.write(
+      minHashSignatures(spark, docs, idCol, textCol, numHashes, shingleN), path)
     graft.sources.Tables.recordLayoutLineage(path, "build", docs, idCol)
   }
 
@@ -171,9 +171,16 @@ object Dedup {
     * touching at least one new doc (old–old pairs were produced by earlier
     * runs — re-emitting them would redo the whole corpus's pair work every
     * day). Union(previous candidates, this) == candidates over the full
-    * corpus — the invariant DedupSpec proves. The join's left side is the
-    * new batch only, so the per-append cost scales with the APPEND, not
-    * the corpus.
+    * corpus — the invariant the spec proves.
+    *
+    * Cost honesty: what this makes append-linear is the EXPENSIVE per-doc
+    * work — sketching (the dominant CPU; never recomputed for old docs)
+    * and the pair/estimate volume (bounded by buckets the new batch
+    * touches). The join's right side still scans and bands the full stored
+    * table (corpus-linear IO of the compact sig rows, not of text); making
+    * that side append-pruned too is a storage decision — materialize the
+    * banded keys partitioned BY band key (the ANN layouts' partition-filter
+    * pattern) so the new batch's bucket set prunes the stored scan.
     */
   def minHashCandidatesIncremental(
       spark: SparkSession,

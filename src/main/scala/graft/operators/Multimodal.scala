@@ -51,8 +51,8 @@ object Multimodal {
     * *Error*, which no `catch Exception` sees — so dimensions are read from
     * the HEADER first (ImageReader.getWidth/getHeight decode no pixel data)
     * and anything above this pixel count degrades to the sentinel before a
-    * raster is ever allocated. 2^26 px ≈ 8192×8192 ≈ 768 MB of ARGB —
-    * far above any thumbnail-pipeline input, far below a task kill.
+    * raster is ever allocated. 2^26 px = 8192×8192 = 256 MiB of 4-byte
+    * ARGB — far above any thumbnail-pipeline input, far below a task kill.
     */
   private val MaxDecodePixels = 1L << 26
 

@@ -36,6 +36,12 @@ trait TableFormat {
   /** Append rows (the manifest log write; an Iceberg table append). */
   def append(df: DataFrame, path: String): Unit
 
+  /** Unpartitioned full-table overwrite (the int8/PQ/signature layout
+    * builds) — kept on the seam so the build and append halves of the same
+    * layout always target the same physical format.
+    */
+  def write(df: DataFrame, path: String): Unit
+
   /** Full-table layout build partitioned by an EXPLICIT semantic column
     * (IVF cell, LSH bucket) — overwrite semantics.
     */
@@ -58,16 +64,24 @@ object ParquetFormat extends TableFormat {
     df.withColumn(bucketName, bucket(bucketCol, n))
       .write.mode("overwrite").partitionBy(bucketName).parquet(path)
 
-  def overwritePartitions(df: DataFrame, path: String, partCol: String): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
-  }
+  // partitionOverwriteMode rides the WRITE as an option, never the session
+  // conf: a session-level flip would leak into every later overwrite in the
+  // same session (a full layout rebuild under leaked dynamic mode would
+  // only replace the partitions present in the new data, silently keeping
+  // stale files from a crashed previous build)
+  def overwritePartitions(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
 
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
-    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    df.write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy(partCol).parquet(path)
 
   def appendPartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("append").partitionBy(partCol).parquet(path)
@@ -97,7 +111,10 @@ object Tables {
     val row = batch
       .agg(
         count(lit(1)).as("rows"),
-        graft.pipeline.Manifest.fingerprintCol(Seq(col(idCol))).as("id_fp"))
+        // xor over zero rows is NULL — pin the empty-batch fingerprint to 0
+        // so lineage consumers can getLong/xor-combine without null checks
+        coalesce(
+          graft.pipeline.Manifest.fingerprintCol(Seq(col(idCol))), lit(0L)).as("id_fp"))
       .select(
         lit(op).as("op"),
         col("rows"),
