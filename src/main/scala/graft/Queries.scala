@@ -2252,6 +2252,43 @@ object Queries {
 
   def q76Sql: String = q65Sql
 
+  /** Event-correlation interval join — clicks matched to the purchases they
+    * precede within a bounded gap: an EQUI-join on the user key with the
+    * time range as a join-side predicate, so the plan is a keyed shuffle
+    * join (never a cartesian) and the range bound is what lets the
+    * streaming twin (StreamIngest.streamIntervalJoin) keep both sides'
+    * state finite under watermarks. Gap emitted in exact microseconds.
+    */
+  def q78IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      .select(
+        col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        // timestampdiff, not unix_micros: it accepts both LTZ and NTZ
+        // timestamps, so the same projection serves the batch read (LTZ)
+        // and the streaming twin's declared-schema read (NTZ)
+        expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").as("gap_us"))
+  }
+
+  def q78Sql: String =
+    """SELECT CAST(c.event_id AS BIGINT) AS click_id,
+      |       CAST(p.event_id AS BIGINT) AS purchase_id,
+      |       CAST(c.user_id AS BIGINT) AS user_id,
+      |       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2330,7 +2367,8 @@ object Queries {
     "q74_quality_clf" -> ((q74QualityClassifier _, q74Sql)),
     "q75_minhash_stored" -> ((q75MinHashStored _, q75Sql)),
     "q76_decontam_bloom" -> ((q76DecontamBloom _, q76Sql)),
-    "q77_minhash_incr" -> ((q77MinHashIncremental _, q77Sql))
+    "q77_minhash_incr" -> ((q77MinHashIncremental _, q77Sql)),
+    "q78_interval_join" -> ((q78IntervalJoin _, q78Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

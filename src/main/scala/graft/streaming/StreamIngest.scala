@@ -111,6 +111,42 @@ object StreamIngest {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked STREAM-STREAM interval join — the remaining §2.10 join
+    * shape: clicks matched to the purchases they precede within
+    * `gapMinutes`, both sides unbounded streams. The equi-key (user) plus
+    * the two-sided time-range predicate is exactly what lets Spark bound
+    * each side's join state: a click older than watermark + gap can never
+    * match a future purchase, so its state is evicted — without the range
+    * bound the state store would grow forever. Inner join, so rows are
+    * emitted as soon as both sides arrive; the batch q78 plan is the same
+    * logical join, and StreamingSpec asserts a full drain equals it row
+    * for row.
+    */
+  def streamIntervalJoin(
+      spark: SparkSession,
+      eventsDir: String,
+      watermark: String = "2 hours",
+      gapMinutes: Int = 30
+  ): DataFrame = {
+    val clicks = readEvents(spark, eventsDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = readEvents(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"interval $gapMinutes minutes"))
+      .select(
+        col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").as("gap_us"))
+  }
+
   /** Bounded drain: process everything currently available, then stop —
     * offsets live in `checkpointDir`, so re-invocation is incremental.
     */

@@ -31,6 +31,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed2 == streamed)
   }
 
+  test("stream-stream interval join: full drain equals the batch interval join row for row") {
+    val tmp = Files.createTempDirectory("graft-ssjoin").toString
+    val srcDir = s"$tmp/src"
+    new java.io.File(srcDir).mkdirs()
+    spark.read.parquet(s"$sfDir/events.parquet").write.mode("overwrite").parquet(srcDir)
+
+    val joined = StreamIngest.streamIntervalJoin(spark, srcDir)
+    StreamIngest.runAvailableNow(joined, s"$tmp/ckpt", s"$tmp/out")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = key(spark.read.parquet(s"$tmp/out"))
+    val batch = key(graft.Queries.q78IntervalJoin(spark, sfDir))
+    assert(streamed == batch && batch.nonEmpty,
+      s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("sessionizeStateful (flatMapGroupsWithState) agrees with sessionize on real events") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val a = StreamIngest.sessionize(spark, ev, 30)
