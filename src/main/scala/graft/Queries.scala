@@ -2289,6 +2289,47 @@ object Queries {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin
 
+  /** Per-source corpus report — the numbers a recipe builder reads before
+    * setting mixture weights (q69): document/token volume, classifier
+    * keep-rate, and mean quality score per source stratum. One narrow
+    * classifier pass (q74's columns) + ONE aggregate; all ratios exact
+    * integers (per-mille / milli via cross-multiplied integer division),
+    * so the report is bit-stable at any partitioning.
+    */
+  def q79CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("source") +: TextAnalysis.qualityClassifierColumns(col("text")): _*)
+    scored.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(col("ft_score")).as("sum_score"))
+      .select(
+        col("source"), col("n_docs"), col("total_tokens"), col("kept_docs"),
+        (col("kept_docs") * 1000L / col("n_docs")).cast("bigint").as("keep_per_mille"),
+        when(col("total_tokens") === 0, lit(0L))
+          .otherwise((col("sum_score") * 1000L / col("total_tokens")).cast("bigint"))
+          .as("mean_token_score_milli"))
+  }
+
+  def q79Sql: String =
+    s"""WITH scored AS (
+       |${q74Sql}
+       |),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT s.source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(sc.n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(sum(CASE WHEN sc.keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       |       CAST(sum(CASE WHEN sc.keep THEN 1 ELSE 0 END) * 1000
+       |            // count(*) AS BIGINT) AS keep_per_mille,
+       |       CAST(CASE WHEN sum(sc.n_tokens) = 0 THEN 0
+       |            ELSE sum(sc.ft_score) * 1000 // sum(sc.n_tokens) END AS BIGINT)
+       |         AS mean_token_score_milli
+       |FROM scored sc JOIN src s ON s.doc_id = sc.doc_id
+       |GROUP BY s.source""".stripMargin
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2368,7 +2409,8 @@ object Queries {
     "q75_minhash_stored" -> ((q75MinHashStored _, q75Sql)),
     "q76_decontam_bloom" -> ((q76DecontamBloom _, q76Sql)),
     "q77_minhash_incr" -> ((q77MinHashIncremental _, q77Sql)),
-    "q78_interval_join" -> ((q78IntervalJoin _, q78Sql))
+    "q78_interval_join" -> ((q78IntervalJoin _, q78Sql)),
+    "q79_corpus_report" -> ((q79CorpusReport _, q79Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):
