@@ -166,6 +166,86 @@ object Dedup {
     graft.sources.Tables.recordLayoutLineage(path, "append", newDocs, idCol)
   }
 
+  /** Materialize the BANDED keys (id, band, bkey) partitioned by a hash
+    * bucket of the band key — the layout that makes the stored side of
+    * incremental dedup prunable: a small append touches a bounded set of
+    * band-key buckets, and `minHashCandidatesStoredPruned` turns that set
+    * into a PARTITION filter on this table, so the daily run reads only
+    * the bucket directories the new batch can possibly collide in (the ANN
+    * layouts' partition-filter pattern applied to LSH banding). With
+    * `nBuckets` ≫ new-batch keys the stored-side IO is append-bounded; a
+    * bulk re-run over everything just reads all buckets — same table.
+    */
+  def writeBandLayout(
+      spark: SparkSession,
+      sigs: DataFrame,
+      path: String,
+      bands: Int = 16,
+      nBuckets: Int = 256
+  ): Unit = {
+    graft.sources.Tables.format.writePartitioned(
+      bandBucketed(spark, sigs, bands, nBuckets), path, "bucket")
+    graft.sources.Tables.recordLayoutLineage(path, "build", sigs, "id")
+  }
+
+  /** Incremental refresh of the banded-key layout (append the new batch's
+    * keys into their bucket partitions).
+    */
+  def appendBandLayout(
+      spark: SparkSession,
+      newSigs: DataFrame,
+      path: String,
+      bands: Int = 16,
+      nBuckets: Int = 256
+  ): Unit = {
+    graft.sources.Tables.format.appendPartitioned(
+      bandBucketed(spark, newSigs, bands, nBuckets), path, "bucket")
+    graft.sources.Tables.recordLayoutLineage(path, "append", newSigs, "id")
+  }
+
+  private def bandBucketed(
+      spark: SparkSession,
+      sigs: DataFrame,
+      bands: Int,
+      nBuckets: Int
+  ): DataFrame =
+    banded(spark, sigs, bands)
+      .withColumn("bucket", graft.sources.Tables.format.bucket(col("bkey"), nBuckets))
+
+  /** Incremental candidates with the stored side PRUNED: the new batch's
+    * band keys determine a bucket set (≤ nBuckets, usually far fewer for a
+    * small append), which becomes a partition filter on the stored banded
+    * layout — only those bucket directories are read. Semantics equal
+    * `minHashCandidatesIncremental` (the spec proves it); the difference
+    * is stored-side IO proportional to the APPEND's collision surface
+    * instead of the corpus.
+    */
+  def minHashCandidatesStoredPruned(
+      spark: SparkSession,
+      bandLayoutPath: String,
+      allSigs: DataFrame,
+      newSigs: DataFrame,
+      bands: Int = 16,
+      nBuckets: Int = 256,
+      minEstJaccard: Double = 0.5
+  ): DataFrame = {
+    val newKeys = bandBucketed(spark, newSigs, bands, nBuckets)
+    // the bucket set is bounded by nBuckets (a few hundred Ints) — safe to
+    // collect and inline as a partition-pruning predicate
+    val buckets = newKeys.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val stored = spark.read.parquet(bandLayoutPath)
+      .filter(col("bucket").isin(buckets.map(Long.box): _*))
+    val pairs = newKeys.select(col("band"), col("bkey"), col("id").as("idn"))
+      .join(stored.select(col("band"), col("bkey"), col("id").as("ida")), Seq("band", "bkey"))
+      .filter(col("idn") =!= col("ida"))
+      .select(
+        least(col("idn"), col("ida")).as("id1"),
+        greatest(col("idn"), col("ida")).as("id2"))
+      .dropDuplicates("id1", "id2")
+    estimatePairs(spark, allSigs, pairs, minEstJaccard)
+  }
+
   /** Incremental candidate generation after a corpus append: band the NEW
     * batch's signatures against the full stored table and emit only pairs
     * touching at least one new doc (old–old pairs were produced by earlier
@@ -177,10 +257,10 @@ object Dedup {
     * work — sketching (the dominant CPU; never recomputed for old docs)
     * and the pair/estimate volume (bounded by buckets the new batch
     * touches). The join's right side still scans and bands the full stored
-    * table (corpus-linear IO of the compact sig rows, not of text); making
-    * that side append-pruned too is a storage decision — materialize the
-    * banded keys partitioned BY band key (the ANN layouts' partition-filter
-    * pattern) so the new batch's bucket set prunes the stored scan.
+    * table (corpus-linear IO of the compact sig rows, not of text); when
+    * that matters too, `writeBandLayout` + `minHashCandidatesStoredPruned`
+    * above materialize the banded keys bucket-partitioned so the new
+    * batch's bucket set PRUNES the stored scan at the file level.
     */
   def minHashCandidatesIncremental(
       spark: SparkSession,

@@ -748,6 +748,49 @@ class OperatorsSpec extends SparkSpec {
     assert(lin.map(_.getAs[Long]("rows")).sum == docs.count())
   }
 
+  test("banded-key layout: pruned incremental candidates equal the unpruned path; small append prunes files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    val tmp = java.nio.file.Files.createTempDirectory("graft_band_layout").toFile.toString
+    val bandPath = s"$tmp/bands"
+    val docs = Tables.read(spark, sfDir, "documents")
+    // "corpus" = everything but three docs; "append" = those three (33 and
+    // 436 are a planted cross-batch near-dup pair, so the tiny append must
+    // still find its pair against the stored corpus)
+    val newIds = Seq(33L, 436L, 7L)
+    val batchA = docs.filter(!col("doc_id").isin(newIds.map(Long.box): _*))
+    val batchB = docs.filter(col("doc_id").isin(newIds.map(Long.box): _*))
+    val sigsA = Dedup.minHashSignatures(spark, batchA, "doc_id", "text")
+    val sigsB = Dedup.minHashSignatures(spark, batchB, "doc_id", "text")
+    Dedup.writeBandLayout(spark, sigsA, bandPath)
+    Dedup.appendBandLayout(spark, sigsB, bandPath)
+    val allSigs = sigsA.unionByName(sigsB)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = pairSet(Dedup.minHashCandidatesStoredPruned(
+      spark, bandPath, allSigs, sigsB, minEstJaccard = 0.7))
+    val unpruned = pairSet(Dedup.minHashCandidatesIncremental(
+      spark, allSigs, sigsB, minEstJaccard = 0.7))
+    assert(pruned == unpruned, s"pruned=$pruned unpruned=$unpruned")
+    assert(pruned.exists { case (a, b) => a == 33L && b == 436L },
+      "the planted cross-batch pair was not found")
+    // the 3-doc append touches ≤ 48 of 256 buckets — the stored scan must
+    // read a strict subset of the layout's files (computed with the SAME
+    // bucket function the operator uses)
+    val layout = spark.read.parquet(bandPath)
+    val newKeys = sigsB.as[(Long, Array[Long])].collect()
+      .flatMap { case (_, sig) => graft.functions.Sketches.bandKeys(sig, 16).map(_._2) }
+      .distinct.toSeq
+    val bucketSet = newKeys.toDF("bkey")
+      .select(Tables.format.bucket(col("bkey"), 256).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val filesAll = layout.select(input_file_name()).distinct().count()
+    val filesPruned = layout.filter(col("bucket").isin(bucketSet.map(Long.box): _*))
+      .select(input_file_name()).distinct().count()
+    assert(filesPruned > 0 && filesPruned < filesAll,
+      s"no stored-side pruning: pruned=$filesPruned all=$filesAll (buckets ${bucketSet.size})")
+  }
+
   test("decontaminateBloom == decontaminate on a corpus where Bloom false positives occur") {
     import spark.implicits._
     // eval docs share the 'canary' gram family; train docs are distinct
