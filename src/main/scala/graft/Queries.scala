@@ -1613,34 +1613,39 @@ object Queries {
   // runs gate the append lifecycle itself every round: q61/q63/q64/q73 pass
   // only if the merged layout is indistinguishable from a one-shot build.
 
+  /** The shared even/odd split-build: base-write one half of the
+    * embeddings, append the other, once per layout path.
+    */
+  private def splitBuilt(s: SparkSession, dir: String, p: String)(
+      write: DataFrame => Unit, append: DataFrame => Unit): String =
+    ensureLayout(p) {
+      val emb = t(s, dir, "embeddings")
+      write(emb.filter(col("vec_id") % 2 === 0))
+      append(emb.filter(col("vec_id") % 2 === 1))
+    }
+
   /** The shared cell-partitioned IVF layout (q61, q64). */
   private def ivfLayout(s: SparkSession, dir: String): String = {
     val p = layoutPath("ivfcells_c16", dir)
-    ensureLayout(p) {
-      val emb = t(s, dir, "embeddings")
-      Ann.ivfWriteLayoutGate(s, emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", p, nCells = 16)
-      Ann.ivfAppendLayout(s, emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", p, nCells = 16)
-    }
+    splitBuilt(s, dir, p)(
+      Ann.ivfWriteLayoutGate(s, _, "vec_id", "embedding", p, nCells = 16),
+      Ann.ivfAppendLayout(s, _, "vec_id", "embedding", p, nCells = 16))
   }
 
   /** The bucket-partitioned LSH layout (q63). */
   private def lshLayout(s: SparkSession, dir: String): String = {
     val p = layoutPath("lshbuckets_p5", dir)
-    ensureLayout(p) {
-      val emb = t(s, dir, "embeddings")
-      Ann.lshWriteLayoutGate(s, emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", p, nPlanes = 5)
-      Ann.lshAppendLayout(s, emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", p, nPlanes = 5)
-    }
+    splitBuilt(s, dir, p)(
+      Ann.lshWriteLayoutGate(s, _, "vec_id", "embedding", p, nPlanes = 5),
+      Ann.lshAppendLayout(s, _, "vec_id", "embedding", p, nPlanes = 5))
   }
 
   /** The cell-partitioned IVF-PQ index (q73). */
   private def ivfPqLayout(s: SparkSession, dir: String): String = {
     val p = layoutPath("ivfpq_c16m8k16", dir)
-    ensureLayout(p) {
-      val emb = t(s, dir, "embeddings")
-      Ann.ivfPqWriteLayout(s, emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", p)
-      Ann.ivfPqAppendLayout(s, emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", p)
-    }
+    splitBuilt(s, dir, p)(
+      Ann.ivfPqWriteLayout(s, _, "vec_id", "embedding", p),
+      Ann.ivfPqAppendLayout(s, _, "vec_id", "embedding", p))
   }
 
   /** IVF over the cell-PARTITIONED layout: same probe set and scores as q47
@@ -2193,15 +2198,6 @@ object Queries {
        |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
   }
 
-  /** MinHash candidates over the MATERIALIZED signature table: the stored
-    * (id, sig) layout is built incrementally (base write + append — each
-    * doc is sketched ONCE, ever), then candidate generation runs over the
-    * stored signatures without touching document text at all. The oracle is
-    * q26's exact-Jaccard SQL verbatim, so the stored path must reproduce
-    * the recompute path exactly over the MERGED (write+append) layout —
-    * gating both the layout lifecycle and the sketch-once economics that
-    * make daily 100 TB dedup re-runs linear in the append, not the corpus.
-    */
   /** The shared stored-signature layout (q75, q77): built incrementally —
     * even-id base write, odd-id append — like the ANN layouts.
     */
@@ -2214,10 +2210,18 @@ object Queries {
     }
   }
 
-  def q75MinHashStored(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash candidates over the MATERIALIZED signature table: the stored
+    * (id, sig) layout is built incrementally (base write + append — each
+    * doc is sketched ONCE, ever), then candidate generation runs over the
+    * stored signatures without touching document text at all. The oracle is
+    * q26's exact-Jaccard SQL verbatim, so the stored path must reproduce
+    * the recompute path exactly over the MERGED (write+append) layout —
+    * gating both the layout lifecycle and the sketch-once economics that
+    * make daily 100 TB dedup re-runs linear in the append, not the corpus.
+    */
+  def q75MinHashStored(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashCandidates(s, s.read.parquet(sigLayout(s, dir)), bands = 16, minEstJaccard = 0.7)
       .select(col("id1"), col("id2"))
-  }
 
   def q75Sql: String = q26Sql
 
