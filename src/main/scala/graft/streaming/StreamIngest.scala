@@ -147,6 +147,50 @@ object StreamIngest {
         expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").as("gap_us"))
   }
 
+  /** ANN SERVING under Structured Streaming — the production loop of a
+    * vector index: query vectors arrive as a stream, and each micro-batch
+    * is answered by ONE partition-pruned probe of the stored IVF layout
+    * (`Ann.multiQueryIvfPartitioned`: the scan's partition filter is the
+    * union of the batch's probe sets, per-query membership checked inside
+    * the aggregator combine). The per-batch `collect` is of QUERY vectors
+    * only — a serving batch is small by definition and `maxBatchQueries`
+    * enforces it — while the corpus side stays distributed and
+    * file-pruned. Offsets checkpoint per batch, so a crashed server
+    * resumes without re-answering delivered queries (exactly-once results
+    * in the sink; the spec proves a re-drain appends nothing).
+    */
+  def runAnnServe(
+      spark: SparkSession,
+      queriesDir: String,
+      layoutPath: String,
+      checkpointDir: String,
+      outPath: String,
+      k: Int = 20,
+      maxBatchQueries: Int = 1024
+  ): Unit = {
+    import spark.implicits._
+    val stream = spark.readStream
+      .schema("query_id BIGINT, embedding ARRAY<FLOAT>")
+      .parquet(queriesDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val qs = batch
+          .select(col("query_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])].collect().sortBy(_._1)
+        require(qs.length <= maxBatchQueries,
+          s"serving batch of ${qs.length} queries exceeds $maxBatchQueries - " +
+            "split the input or raise the bound")
+        if (qs.nonEmpty)
+          graft.operators.Ann
+            .multiQueryIvfPartitioned(spark, layoutPath, "vec_id", "embedding", qs, k)
+            .write.mode("append").parquet(outPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Bounded drain: process everything currently available, then stop —
     * offsets live in `checkpointDir`, so re-invocation is incremental.
     */

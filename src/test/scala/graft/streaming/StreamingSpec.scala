@@ -47,6 +47,29 @@ class StreamingSpec extends SparkSpec {
       s"streamed=${streamed.size} batch=${batch.size}")
   }
 
+  test("ANN serving drain: streamed top-k equals the batched IVF probe; re-drain appends nothing") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-annserve").toString
+    val layout = s"$tmp/ivf"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.operators.Ann.ivfWriteLayoutGate(spark, emb, "vec_id", "embedding", layout, nCells = 16)
+    // the "query stream": the first 8 vectors arriving as a file batch
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long").as("query_id"), col("embedding"))
+    queries.write.mode("overwrite").parquet(s"$tmp/queries")
+    StreamIngest.runAnnServe(spark, s"$tmp/queries", layout, s"$tmp/ckpt", s"$tmp/out")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val served = key(spark.read.parquet(s"$tmp/out"))
+    val batch = key(graft.operators.Ann.multiQueryIvfPartitioned(
+      spark, layout, "vec_id", "embedding",
+      queries.as[(Long, Array[Float])].collect().sortBy(_._1), k = 20))
+    assert(served == batch && batch.nonEmpty, s"served=${served.size} batch=${batch.size}")
+    // exactly-once: a second drain from the same checkpoint answers nothing new
+    StreamIngest.runAnnServe(spark, s"$tmp/queries", layout, s"$tmp/ckpt", s"$tmp/out")
+    assert(key(spark.read.parquet(s"$tmp/out")) == served)
+  }
+
   test("sessionizeStateful (flatMapGroupsWithState) agrees with sessionize on real events") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val a = StreamIngest.sessionize(spark, ev, 30)
