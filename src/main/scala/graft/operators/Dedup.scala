@@ -514,6 +514,32 @@ object Dedup {
     (labels, converged)
   }
 
+  /** Incremental connected components — the label-update step of daily
+    * dedup: yesterday's (id, component) labels ARE a connectivity-
+    * preserving contraction of yesterday's graph (every node wired to its
+    * component min), so running the star algorithm over
+    * labels-as-edges ∪ today's new candidate pairs yields exactly the
+    * components of the full cumulative graph — without ever rebuilding or
+    * re-walking yesterday's edge set, whose size is corpus-scale while the
+    * label table is one row per node. Composes with
+    * `minHashCandidatesIncremental`/`minHashCandidatesStoredPruned` to
+    * close the loop: append → new pairs → label update → survivors.
+    */
+  def componentsIncremental(
+      spark: SparkSession,
+      oldLabels: DataFrame,
+      newPairs: DataFrame,
+      maxIters: Int = 20
+  ): DataFrame = {
+    val asEdges = oldLabels.select(
+      col(oldLabels.columns(0)).cast("long").as("u"),
+      col(oldLabels.columns(1)).cast("long").as("v"))
+    val fresh = newPairs.select(
+      col(newPairs.columns(0)).cast("long").as("u"),
+      col(newPairs.columns(1)).cast("long").as("v"))
+    components(spark, asEdges.unionByName(fresh), maxIters)
+  }
+
   /** Cluster-resolved dedup: every doc gets its cluster id (= min doc id of
     * its near-dup component, itself when unpaired) and a survivor flag.
     * This is the terminal operator of the dedup pipeline: candidates →

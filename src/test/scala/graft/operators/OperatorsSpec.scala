@@ -748,6 +748,25 @@ class OperatorsSpec extends SparkSpec {
     assert(lin.map(_.getAs[Long]("rows")).sum == docs.count())
   }
 
+  test("componentsIncremental: label update over new pairs equals components of the cumulative graph") {
+    import spark.implicits._
+    val docs = Tables.read(spark, sfDir, "documents")
+    val sigsA = Dedup.minHashSignatures(spark, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val sigsB = Dedup.minHashSignatures(spark, docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+    val all = sigsA.unionByName(sigsB)
+    val oldPairs = Dedup.minHashCandidates(spark, sigsA, 16, 0.7).select("id1", "id2")
+    val newPairs = Dedup.minHashCandidatesIncremental(spark, all, sigsB, 16, 0.7).select("id1", "id2")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oldLabels = Dedup.components(spark, oldPairs)
+    val updated = labels(Dedup.componentsIncremental(spark, oldLabels, newPairs))
+    val full = labels(Dedup.components(spark,
+      Dedup.minHashCandidates(spark, all, 16, 0.7).select("id1", "id2")))
+    assert(updated == full && full.nonEmpty, s"updated=${updated.size} full=${full.size}")
+    // the update genuinely merged across batches: some component spans parities
+    assert(full.exists { case (id, c) => id % 2 != c % 2 })
+  }
+
   test("banded-key layout: pruned incremental candidates equal the unpruned path; small append prunes files") {
     import spark.implicits._
     import org.apache.spark.sql.functions.input_file_name
