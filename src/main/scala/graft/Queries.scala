@@ -2334,6 +2334,39 @@ object Queries {
        |FROM scored sc JOIN src s ON s.doc_id = sc.doc_id
        |GROUP BY s.source""".stripMargin
 
+  /** The daily dedup loop END-TO-END through the incremental path, gated
+    * on q58's oracle verbatim: day 1 sketches/pairs/labels the even half;
+    * day 2 appends the odd half — signatures for the NEW batch only,
+    * incremental candidates (pairs touching the new batch), exact verify,
+    * and a label UPDATE over labels-as-edges ∪ new pairs — then survivor
+    * flags for every doc from the updated labels. The result must be
+    * byte-identical to the one-shot q58 flow over the full corpus, which
+    * is exactly what sharing its recursive-CC oracle proves: the
+    * incremental machinery is not an approximation.
+    */
+  def q80DedupIncrE2E(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    val batchA = docs.filter(col("doc_id") % 2 === 0)
+    val batchB = docs.filter(col("doc_id") % 2 =!= 0)
+    // day 1: the even half, processed the one-shot way
+    val sigsA = Dedup.minHashSignatures(s, batchA, "doc_id", "text")
+    val candsA = Dedup.minHashCandidates(s, sigsA, bands = 16, minEstJaccard = 0.5)
+    val pairsA = Dedup.verifyJaccard(s, batchA, "doc_id", "text", candsA, shingleN = 5, minJaccard = 0.6)
+      .select(col("id1"), col("id2"))
+    val labelsA = Dedup.components(s, pairsA)
+    // day 2: append the odd half — sketch it alone, band it against all,
+    // verify only the new pairs, update the labels
+    val sigsB = Dedup.minHashSignatures(s, batchB, "doc_id", "text")
+    val all = sigsA.unionByName(sigsB)
+    val candsNew = Dedup.minHashCandidatesIncremental(s, all, sigsB, bands = 16, minEstJaccard = 0.5)
+    val pairsNew = Dedup.verifyJaccard(s, docs, "doc_id", "text", candsNew, shingleN = 5, minJaccard = 0.6)
+      .select(col("id1"), col("id2"))
+    val updated = Dedup.componentsIncremental(s, labelsA, pairsNew)
+    Dedup.clustersFromLabels(t(s, dir, "documents"), "doc_id", updated)
+  }
+
+  def q80Sql: String = q58Sql
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2414,7 +2447,8 @@ object Queries {
     "q76_decontam_bloom" -> ((q76DecontamBloom _, q76Sql)),
     "q77_minhash_incr" -> ((q77MinHashIncremental _, q77Sql)),
     "q78_interval_join" -> ((q78IntervalJoin _, q78Sql)),
-    "q79_corpus_report" -> ((q79CorpusReport _, q79Sql))
+    "q79_corpus_report" -> ((q79CorpusReport _, q79Sql)),
+    "q80_dedup_incr_e2e" -> ((q80DedupIncrE2E _, q80Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -565,15 +565,22 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds; " +
           "pass requireConverged=false to accept approximate cluster labels")
+    clustersFromLabels(docs, idCol, comp)
+  }
+
+  /** The label→survivor tail of `clusters`, reusable with labels from ANY
+    * source — in particular `componentsIncremental`'s updated labels, so
+    * the daily loop never recomputes components to re-derive survivors.
+    */
+  def clustersFromLabels(docs: DataFrame, idCol: String, labels: DataFrame): DataFrame =
     docs
       .select(col(idCol).cast("long").as("id"))
-      .join(comp, Seq("id"), "left_outer")
+      .join(labels, Seq("id"), "left_outer")
       .select(
         col("id").as(idCol),
         coalesce(col("component"), col("id")).as("cluster_id")
       )
       .withColumn("is_survivor", col(idCol) === col("cluster_id"))
-  }
 
   /** Benchmark decontamination — the step a training-data pipeline runs
     * before anything ships to a trainer: flag every TRAIN document sharing
