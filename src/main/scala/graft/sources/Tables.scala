@@ -126,6 +126,26 @@ object Tables {
   def readLayoutLineage(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/_lineage")
 
+  /** Audit a layout against its source WITHOUT reading the layout's data
+    * files: xor fingerprints over DISJOINT batches compose (xor of the
+    * batch id_fps == the id_fp of their union), so the lineage log alone
+    * predicts the source table's (count, fingerprint) — one column-pruned
+    * aggregate over the source ids, zero IO against the layout. Returns
+    * true iff every source row is in the layout exactly once across the
+    * recorded batches.
+    */
+  def auditLayoutLineage(spark: SparkSession, path: String,
+      source: DataFrame, idCol: String): Boolean = {
+    val lin = readLayoutLineage(spark, path)
+      .agg(sum(col("rows")), expr("bit_xor(id_fp)")).head()
+    if (lin.isNullAt(0)) return false // no lineage rows ⇒ nothing vouched for
+    val src = source.agg(
+      count(lit(1)),
+      coalesce(graft.pipeline.Manifest.fingerprintCol(Seq(col(idCol))), lit(0L))).head()
+    lin.getLong(0) == src.getLong(0) &&
+      (if (lin.isNullAt(1)) 0L else lin.getLong(1)) == src.getLong(1)
+  }
+
 
   /** The pipeline's input page table in BASELINE.json input_hint shape
     * (url, warc_ts, html, text, lang), synthesized deterministically from the

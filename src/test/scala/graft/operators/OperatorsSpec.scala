@@ -748,6 +748,37 @@ class OperatorsSpec extends SparkSpec {
     assert(lin.map(_.getAs[Long]("rows")).sum == docs.count())
   }
 
+  test("lineage audit: xor fingerprints compose across disjoint batches; a dropped batch is detected") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_lin_audit").toFile.toString + "/sigs"
+    val docs = Tables.read(spark, sfDir, "documents")
+    Dedup.writeSignatureLayout(spark, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+    // audit should FAIL while a batch is missing...
+    assert(!Tables.auditLayoutLineage(spark, path, docs, "doc_id"))
+    Dedup.appendSignatureLayout(spark, docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", path)
+    // ...and PASS once the recorded batches cover the source exactly —
+    // verified from the lineage log alone, no layout data files read
+    assert(Tables.auditLayoutLineage(spark, path, docs, "doc_id"))
+    // a source the layout does NOT match is rejected
+    assert(!Tables.auditLayoutLineage(spark, path, docs.filter(col("doc_id") > 10), "doc_id"))
+  }
+
+  test("safeDecode fuzz: random and truncated binary payloads never throw, always sentinel or valid") {
+    val rnd = new scala.util.Random(42)
+    val png = Multimodal.encodePng(24, 16, 120)
+    val cases =
+      (0 until 150).map(_ => Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)) ++
+        (1 until 20).map(i => png.take(png.length * i / 20)) ++ // truncated PNGs
+        Seq(Array.emptyByteArray, png)
+    cases.foreach { bytes =>
+      val (w, h, s) = Multimodal.decodeImage(bytes)
+      assert((w == 0 && h == 0 && s == -1L) || (w > 0 && h > 0 && s >= 0),
+        s"unexpected decode result ($w,$h,$s) for ${bytes.length} bytes")
+      val t = Multimodal.thumbnail(bytes, 8)
+      assert(t != null) // empty array or a valid re-encoded thumbnail, never a throw
+    }
+  }
+
   test("componentsIncremental: label update over new pairs equals components of the cumulative graph") {
     import spark.implicits._
     val docs = Tables.read(spark, sfDir, "documents")

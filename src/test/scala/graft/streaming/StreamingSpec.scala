@@ -70,6 +70,20 @@ class StreamingSpec extends SparkSpec {
     assert(key(spark.read.parquet(s"$tmp/out")) == served)
   }
 
+  test("ANN serving: an oversized micro-batch fails fast on the query-collect bound") {
+    val tmp = Files.createTempDirectory("graft-annserve-guard").toString
+    val layout = s"$tmp/ivf"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.operators.Ann.ivfWriteLayoutGate(spark, emb, "vec_id", "embedding", layout, nCells = 16)
+    emb.select(col("vec_id").cast("long").as("query_id"), col("embedding"))
+      .limit(10).write.mode("overwrite").parquet(s"$tmp/queries")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamIngest.runAnnServe(spark, s"$tmp/queries", layout, s"$tmp/ckpt", s"$tmp/out",
+        maxBatchQueries = 4)
+    }
+    assert(e.getMessage.contains("serving batch") || e.getCause.getMessage.contains("serving batch"))
+  }
+
   test("sessionizeStateful (flatMapGroupsWithState) agrees with sessionize on real events") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val a = StreamIngest.sessionize(spark, ev, 30)
