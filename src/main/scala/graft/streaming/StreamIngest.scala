@@ -147,6 +147,28 @@ object StreamIngest {
         expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").as("gap_us"))
   }
 
+  /** Streaming data-recipe tail: deterministic stratified sampling + mixture
+    * upsampling over a document stream. Both are STATELESS — the sample
+    * membership is the engine-independent md5 bucket (a pure filter) and
+    * upsampling is a narrow explode — so batch and stream produce identical
+    * rows (StreamingSpec proves it) and the recipe can run at ingest time
+    * instead of as a separate batch pass. `ratePermille`/`weight` are
+    * Column expressions over the row, exactly as in the batch forms.
+    */
+  def streamRecipe(
+      spark: SparkSession,
+      docsDir: String,
+      ratePermille: org.apache.spark.sql.Column,
+      weight: org.apache.spark.sql.Column
+  ): DataFrame = {
+    import graft.operators.Curation
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(docsDir)
+    Curation.upsample(Curation.stratifiedSample(stream, "doc_id", ratePermille), weight)
+      .select(col("doc_id"), col("source"), col("epoch"))
+  }
+
   /** ANN SERVING under Structured Streaming — the production loop of a
     * vector index: query vectors arrive as a stream, and each micro-batch
     * is answered by ONE partition-pruned probe of the stored IVF layout

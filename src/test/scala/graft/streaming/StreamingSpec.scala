@@ -70,6 +70,25 @@ class StreamingSpec extends SparkSpec {
     assert(key(spark.read.parquet(s"$tmp/out")) == served)
   }
 
+  test("streaming recipe (sample + upsample): drain equals the batch recipe row for row") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-recipe").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.write.mode("overwrite").parquet(s"$tmp/docs")
+    val rate = lit(1000L) - lit(45L) * pmod(expr("cast(substr(source, 4) as bigint)"), lit(20L))
+    val weight = pmod(col("doc_id"), lit(3L)) // weights 0..2 — the 0 drop path included
+    val streamed = StreamIngest.streamRecipe(spark, s"$tmp/docs", rate, weight)
+    StreamIngest.runAvailableNow(streamed, s"$tmp/ckpt", s"$tmp/out")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "source", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    val got = key(spark.read.parquet(s"$tmp/out"))
+    val want = key(graft.operators.Curation.upsample(
+      graft.operators.Curation.stratifiedSample(docs, "doc_id", rate), weight)
+      .select(col("doc_id").cast("long"), col("source"), col("epoch")))
+    assert(got == want && got.nonEmpty, s"streamed=${got.size} batch=${want.size}")
+  }
+
   test("ANN serving: an oversized micro-batch fails fast on the query-collect bound") {
     val tmp = Files.createTempDirectory("graft-annserve-guard").toString
     val layout = s"$tmp/ivf"
