@@ -2263,6 +2263,23 @@ object Queries {
     * streaming twin (StreamIngest.streamIntervalJoin) keep both sides'
     * state finite under watermarks. Gap emitted in exact microseconds.
     */
+  /** The ONE interval-join body both twins call (batch q78 below and
+    * StreamIngest.streamIntervalJoin): equality is enforced by shared
+    * construction, not by two hand-maintained copies. Sides must carry
+    * (click_id, c_user, click_ts) / (purchase_id, p_user, purchase_ts).
+    * timestampdiff, not unix_micros, for the gap: it accepts both LTZ
+    * (batch read) and NTZ (the stream's declared schema) timestamps.
+    */
+  private[graft] def intervalJoin(
+      clicks: DataFrame, purchases: DataFrame, gapMinutes: Int): DataFrame =
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"interval $gapMinutes minutes"))
+      .select(
+        col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").as("gap_us"))
+
   def q78IntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
@@ -2271,16 +2288,7 @@ object Queries {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"))
-    clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"))
-      .select(
-        col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
-        // timestampdiff, not unix_micros: it accepts both LTZ and NTZ
-        // timestamps, so the same projection serves the batch read (LTZ)
-        // and the streaming twin's declared-schema read (NTZ)
-        expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").as("gap_us"))
+    intervalJoin(clicks, purchases, gapMinutes = 30)
   }
 
   def q78Sql: String =
@@ -2311,9 +2319,13 @@ object Queries {
         sum(col("ft_score")).as("sum_score"))
       .select(
         col("source"), col("n_docs"), col("total_tokens"), col("kept_docs"),
-        (col("kept_docs") * 1000L / col("n_docs")).cast("bigint").as("keep_per_mille"),
+        // `div` (true integer division), NOT `/`: Divide promotes bigints to
+        // double, whose 53-bit mantissa would drop low bits once
+        // sum_score*1000 passes 2^53 — real at corpus scale — and skew the
+        // last digit off the oracle's exact `//`
+        expr("kept_docs * 1000 div n_docs").as("keep_per_mille"),
         when(col("total_tokens") === 0, lit(0L))
-          .otherwise((col("sum_score") * 1000L / col("total_tokens")).cast("bigint"))
+          .otherwise(expr("sum_score * 1000 div total_tokens"))
           .as("mean_token_score_milli"))
   }
 

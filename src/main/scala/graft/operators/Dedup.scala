@@ -183,13 +183,29 @@ object Dedup {
       bands: Int = 16,
       nBuckets: Int = 256
   ): Unit = {
+    import spark.implicits._
     graft.sources.Tables.format.writePartitioned(
       bandBucketed(spark, sigs, bands, nBuckets), path, "bucket")
+    // the layout's parameters are PART of the layout: a reader pruning with
+    // different bands/nBuckets than the writer would silently drop pairs,
+    // so they are persisted under the path (underscore dir — invisible to
+    // the data scan) and validated on every append and pruned read
+    graft.sources.Tables.format.write(
+      Seq((bands, nBuckets)).toDF("bands", "n_buckets"), s"$path/_meta")
     graft.sources.Tables.recordLayoutLineage(path, "build", sigs, "id")
   }
 
+  private def requireBandParams(spark: SparkSession, path: String, bands: Int, nBuckets: Int): Unit = {
+    val m = spark.read.parquet(s"$path/_meta").head()
+    require(m.getInt(0) == bands && m.getInt(1) == nBuckets,
+      s"band layout at $path was written with bands=${m.getInt(0)}, " +
+        s"nBuckets=${m.getInt(1)} but queried with bands=$bands, nBuckets=$nBuckets - " +
+        "a mismatch silently drops candidate pairs")
+  }
+
   /** Incremental refresh of the banded-key layout (append the new batch's
-    * keys into their bucket partitions).
+    * keys into their bucket partitions; parameters validated against the
+    * layout's stored meta).
     */
   def appendBandLayout(
       spark: SparkSession,
@@ -198,6 +214,7 @@ object Dedup {
       bands: Int = 16,
       nBuckets: Int = 256
   ): Unit = {
+    requireBandParams(spark, path, bands, nBuckets)
     graft.sources.Tables.format.appendPartitioned(
       bandBucketed(spark, newSigs, bands, nBuckets), path, "bucket")
     graft.sources.Tables.recordLayoutLineage(path, "append", newSigs, "id")
@@ -229,6 +246,7 @@ object Dedup {
       nBuckets: Int = 256,
       minEstJaccard: Double = 0.5
   ): DataFrame = {
+    requireBandParams(spark, bandLayoutPath, bands, nBuckets)
     val newKeys = bandBucketed(spark, newSigs, bands, nBuckets)
     // the bucket set is bounded by nBuckets (a few hundred Ints) — safe to
     // collect and inline as a partition-pruning predicate
@@ -236,15 +254,21 @@ object Dedup {
       .collect().map(_.getLong(0))
     val stored = spark.read.parquet(bandLayoutPath)
       .filter(col("bucket").isin(buckets.map(Long.box): _*))
-    val pairs = newKeys.select(col("band"), col("bkey"), col("id").as("idn"))
-      .join(stored.select(col("band"), col("bkey"), col("id").as("ida")), Seq("band", "bkey"))
+    estimatePairs(spark, allSigs, newVsAllPairs(newKeys, stored), minEstJaccard)
+  }
+
+  /** Canonical new-vs-all pair set — join on band keys, drop self-pairs,
+    * orient (min, max), dedup: the shared tail of both incremental
+    * candidate paths, so pair canonicalization cannot drift between them.
+    */
+  private def newVsAllPairs(newKeys: DataFrame, allKeys: DataFrame): DataFrame =
+    newKeys.select(col("band"), col("bkey"), col("id").as("idn"))
+      .join(allKeys.select(col("band"), col("bkey"), col("id").as("ida")), Seq("band", "bkey"))
       .filter(col("idn") =!= col("ida"))
       .select(
         least(col("idn"), col("ida")).as("id1"),
         greatest(col("idn"), col("ida")).as("id2"))
       .dropDuplicates("id1", "id2")
-    estimatePairs(spark, allSigs, pairs, minEstJaccard)
-  }
 
   /** Incremental candidate generation after a corpus append: band the NEW
     * batch's signatures against the full stored table and emit only pairs
@@ -269,17 +293,9 @@ object Dedup {
       bands: Int = 16,
       minEstJaccard: Double = 0.5
   ): DataFrame = {
-    val l = banded(spark, newSigs, bands)
-      .select(col("band"), col("bkey"), col("id").as("idn"))
-    val r = banded(spark, allSigs, bands)
-      .select(col("band"), col("bkey"), col("id").as("ida"))
-    val pairs = l.join(r, Seq("band", "bkey"))
-      .filter(col("idn") =!= col("ida"))
-      .select(
-        least(col("idn"), col("ida")).as("id1"),
-        greatest(col("idn"), col("ida")).as("id2"))
-      .dropDuplicates("id1", "id2")
-    estimatePairs(spark, allSigs, pairs, minEstJaccard)
+    estimatePairs(spark, allSigs,
+      newVsAllPairs(banded(spark, newSigs, bands), banded(spark, allSigs, bands)),
+      minEstJaccard)
   }
 
   /** SimHash sketches (id, simhash). */
@@ -529,7 +545,8 @@ object Dedup {
       spark: SparkSession,
       oldLabels: DataFrame,
       newPairs: DataFrame,
-      maxIters: Int = 20
+      maxIters: Int = 20,
+      requireConverged: Boolean = true
   ): DataFrame = {
     val asEdges = oldLabels.select(
       col(oldLabels.columns(0)).cast("long").as("u"),
@@ -537,7 +554,15 @@ object Dedup {
     val fresh = newPairs.select(
       col(newPairs.columns(0)).cast("long").as("u"),
       col(newPairs.columns(1)).cast("long").as("v"))
-    components(spark, asEdges.unionByName(fresh), maxIters)
+    // same non-convergence stance as clusters(): the daily loop must not be
+    // QUIETER about approximate labels than the one-shot path it replaces
+    val (labels, converged) =
+      componentsWithStatus(spark, asEdges.unionByName(fresh), maxIters)
+    if (requireConverged && !converged)
+      throw new IllegalStateException(
+        s"incremental components did not converge in $maxIters rounds; " +
+          "pass requireConverged=false to accept approximate labels")
+    labels
   }
 
   /** Cluster-resolved dedup: every doc gets its cluster id (= min doc id of

@@ -138,13 +138,9 @@ object StreamIngest {
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", watermark)
-    clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"interval $gapMinutes minutes"))
-      .select(
-        col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
-        expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").as("gap_us"))
+    // the SAME join body the batch q78 runs (shared construction — the
+    // "proven equal" twins cannot drift apart)
+    graft.Queries.intervalJoin(clicks, purchases, gapMinutes)
   }
 
   /** Streaming data-recipe tail: deterministic stratified sampling + mixture
@@ -177,9 +173,12 @@ object StreamIngest {
     * the aggregator combine). The per-batch `collect` is of QUERY vectors
     * only — a serving batch is small by definition and `maxBatchQueries`
     * enforces it — while the corpus side stays distributed and
-    * file-pruned. Offsets checkpoint per batch, so a crashed server
-    * resumes without re-answering delivered queries (exactly-once results
-    * in the sink; the spec proves a re-drain appends nothing).
+    * file-pruned. The sink is IDEMPOTENT per micro-batch: results land in
+    * a `batch_id=<id>` directory written with overwrite, so a crash after
+    * the write but before the offset commit re-executes the batch into the
+    * SAME directory instead of appending duplicates — exactly-once results,
+    * not just exactly-once offsets (the spec proves a re-drain changes
+    * nothing).
     */
   def runAnnServe(
       spark: SparkSession,
@@ -197,17 +196,20 @@ object StreamIngest {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        // the collect is LIMIT-bounded in the plan, so an oversized batch
+        // trips the guard without ever materializing on the driver
         val qs = batch
           .select(col("query_id").cast("long"), col("embedding"))
+          .limit(maxBatchQueries + 1)
           .as[(Long, Array[Float])].collect().sortBy(_._1)
         require(qs.length <= maxBatchQueries,
-          s"serving batch of ${qs.length} queries exceeds $maxBatchQueries - " +
+          s"serving batch exceeds $maxBatchQueries queries - " +
             "split the input or raise the bound")
         if (qs.nonEmpty)
           graft.operators.Ann
             .multiQueryIvfPartitioned(spark, layoutPath, "vec_id", "embedding", qs, k)
-            .write.mode("append").parquet(outPath)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
       .start()
     q.awaitTermination()

@@ -100,7 +100,8 @@ class StreamingSpec extends SparkSpec {
       StreamIngest.runAnnServe(spark, s"$tmp/queries", layout, s"$tmp/ckpt", s"$tmp/out",
         maxBatchQueries = 4)
     }
-    assert(e.getMessage.contains("serving batch") || e.getCause.getMessage.contains("serving batch"))
+    assert(e.getMessage.contains("serving batch") ||
+      Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("serving batch")))
   }
 
   test("sessionizeStateful (flatMapGroupsWithState) agrees with sessionize on real events") {
