@@ -23,10 +23,12 @@ object Dedup {
 
   /** The canonical normalized-content digest (whitespace-collapsed,
     * lowercased, md5) — THE content identity every exact-dedup consumer
-    * shares (exact, q25, the q67 survivor pick), defined once.
+    * shares (exact, q25, the q67 survivor pick). Delegates to the single
+    * definition in TextAnalysis so the dedup key and the q32 fingerprint
+    * column can never diverge.
     */
   def contentFingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+    graft.functions.TextAnalysis.fingerprint(text)
 
   /** Exact dedup: survivor = min(id) per normalized-content digest. */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
