@@ -156,7 +156,12 @@ object Bench {
       // candidates over the STORED signature table (no re-sketching — the
       // number to compare against q26, which recomputes signatures per run)
       "q74_quality_clf" -> (Queries.q74QualityClassifier _),
-      "q75_minhash_stored" -> (Queries.q75MinHashStored _)
+      "q75_minhash_stored" -> (Queries.q75MinHashStored _),
+      // round 6: the incremental candidate path itself (so regressions in
+      // the daily-loop machinery show in the artifact of record) and the
+      // real-BPE token count (a pure codegen'd replace-chain pass)
+      "q77_minhash_incr" -> (Queries.q77MinHashIncremental _),
+      "q84_bpe_tokens" -> (Queries.q84BpeTokens _)
     )
     val sHead = session(cpus)
     // per-query engine cost: task run time accumulated per timed window —
@@ -225,7 +230,10 @@ object Bench {
       while (!warmStable && warmed < maxWarmRuns) {
         val cur = once()
         val (a, b) = (math.max(cur._2, warmPrev._2), math.min(cur._2, warmPrev._2))
-        warmStable = b > 0 && a / b <= 1.25
+        // two consecutive near-zero task-sec readings ARE stable — a trivial
+        // query's task time rounds to 0, and `b > 0` alone would burn every
+        // warm run chasing a ratio that can never be computed
+        warmStable = (b > 0 && a / b <= 1.25) || a < 0.05
         warmPrev = cur
         warmed += 1
       }

@@ -2269,6 +2269,10 @@ object Queries {
     * (click_id, c_user, click_ts) / (purchase_id, p_user, purchase_ts).
     * timestampdiff, not unix_micros, for the gap: it accepts both LTZ
     * (batch read) and NTZ (the stream's declared schema) timestamps.
+    * Skew: both sides shuffle on user_id, so a degenerate bot user is a
+    * hot key — AQE skew-join is the backstop here exactly as for the other
+    * keyed joins (BASELINE.md §skew); the range bound keeps the per-key
+    * match volume, and in the streaming twin the per-key STATE, bounded.
     */
   private[graft] def intervalJoin(
       clicks: DataFrame, purchases: DataFrame, gapMinutes: Int): DataFrame =
@@ -2379,6 +2383,154 @@ object Queries {
 
   def q80Sql: String = q58Sql
 
+  /** The incrementally-landed flagship triple layout (q81, q82): day 1
+    * processes the even-doc_id pages, day 2 the odd half — each day's run
+    * reads ONLY its batch's pages (KgPipeline.writeTriplesBatch) and lands
+    * in its own `batch` partition with a lineage row; day-1 files are
+    * byte-untouched by the day-2 landing (PipelineSpec asserts it).
+    */
+  private def kgTriplesLayout(s: SparkSession, dir: String): String = {
+    val p = layoutPath("kgtriples_parity", dir, srcTable = "documents")
+    ensureLayout(p) {
+      (0 to 1).foreach { b =>
+        val pages = Tables.pagesWhere(s, dir, col("doc_id") % 2 === b)
+          .repartition(s.sparkContext.defaultParallelism, col("url"))
+        KgPipeline.writeTriplesBatch(s, pages, p, b)
+      }
+    }
+  }
+
+  /** The incremental KG pipeline END-TO-END, gated on the flagship's own
+    * oracle (q40's SQL verbatim): pages land in daily batches, each batch
+    * processed ALONE (page-locality makes per-batch output exact, see
+    * writeTriplesBatch), and the MERGED layout must be byte-identical to
+    * the one-shot q40 recompute over all pages — the q80 proof applied to
+    * the engine's flagship (reference E1, sparql_updates.py:336-462).
+    */
+  def q81KgIncremental(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(kgTriplesLayout(s, dir))
+      .select(col("subj"), col("pred"), col("obj"), col("url"), col("ts"))
+
+  def q81Sql: String = q40Sql
+
+  /** The incrementally-MAINTAINED node table (q82): day 1 stores the node
+    * aggregate of batch 0's triples (snapshot state_1); day 2 aggregates
+    * ONLY batch 1's triples and merges by degree-sum into snapshot state_2
+    * (KgPipeline.mergeNodeTables — yesterday's triples are never re-read).
+    * Snapshot-versioned state dirs, the Iceberg-snapshot shape on local
+    * parquet: the update writes a NEW state, never overwrites the one it
+    * reads.
+    */
+  private def kgNodesLayout(s: SparkSession, dir: String): String = {
+    val p = layoutPath("kgnodes_parity", dir, srcTable = "documents")
+    ensureLayout(p) {
+      val tri = s.read.parquet(kgTriplesLayout(s, dir))
+      Tables.format.write(
+        KgPipeline.nodeTable(tri.filter(col("batch") === 0)), s"$p/state_1")
+      Tables.format.write(
+        KgPipeline.mergeNodeTables(
+          s.read.parquet(s"$p/state_1"),
+          KgPipeline.nodeTable(tri.filter(col("batch") === 1))), s"$p/state_2")
+    }
+  }
+
+  /** Incremental node-degree maintenance gated on q55's SQL verbatim: the
+    * degree-sum merge of batch aggregates must equal the full recompute
+    * over all triples — update-by-merge is not an approximation.
+    */
+  def q82KgIncrNodes(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${kgNodesLayout(s, dir)}/state_2")
+      .select(col("node"), col("out_degree"), col("in_degree"), col("n_urls"))
+
+  def q82Sql: String = q55Sql
+
+  /** The band-key layout over the stored signatures (q83), built like every
+    * layout incrementally: base write of the even-id keys, append of the
+    * odd half (parameters persisted/validated via _meta, lineage recorded
+    * per batch — the coverage audit inside the pruned read depends on it).
+    */
+  private def bandLayout(s: SparkSession, dir: String): String = {
+    val p = layoutPath("bandkeys_b16n256", dir, srcTable = "documents")
+    ensureLayout(p) {
+      val sigs = s.read.parquet(sigLayout(s, dir))
+      Dedup.writeBandLayout(s, sigs.filter(col("id") % 2 === 0), p)
+      Dedup.appendBandLayout(s, sigs.filter(col("id") % 2 =!= 0), p)
+    }
+  }
+
+  /** The stored-PRUNED incremental candidate path, oracle-gated with q77's
+    * SQL verbatim: the new (odd-id) batch's band keys become a bucket
+    * partition filter on the stored banded layout — the daily-dedup scan
+    * reads only the bucket directories the append can collide in (file
+    * pruning in THIS gated path is PlanSpec-asserted) — and the surviving
+    * pairs must still be exactly the full corpus's near-dup pairs touching
+    * the new batch. The in-operator lineage audit proves the layout covers
+    * all signatures before pruning.
+    */
+  def q83MinHashStoredPruned(s: SparkSession, dir: String): DataFrame = {
+    val all = s.read.parquet(sigLayout(s, dir))
+    val newSigs = all.filter(col("id") % 2 =!= 0)
+    Dedup.minHashCandidatesStoredPruned(
+      s, bandLayout(s, dir), all, newSigs, bands = 16, nBuckets = 256, minEstJaccard = 0.7)
+      .select(col("id1"), col("id2"))
+  }
+
+  def q83Sql: String = q77Sql
+
+  /** Real-BPE token counting (TextAnalysis.bpeTokenCountColumns): every
+    * word's a-z content encoded by the closed-form merges table with EXACT
+    * standard-BPE semantics (single replace-chain pass in priority order —
+    * proven equal to the iterative reference encoder in BpeSpec), so the
+    * token counts are what a trainer's tokenizer with that merges table
+    * would report — not the regex stand-in's approximation. One narrow
+    * codegen'd pass, zero UDFs; the oracle applies the IDENTICAL replace
+    * chain in DuckDB.
+    */
+  def q84BpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id") +:
+        TextAnalysis.bpeTokenCountColumns(col("text")): _*)
+
+  def q84Sql: String = {
+    val sep = """'||' || regexp_replace(regexp_replace(t, '[^a-z]', '', 'g'), '(.)', '\1||', 'g')"""
+    val folded = TextAnalysis.bpeMerges.foldLeft(sep) { case (acc, (a, b)) =>
+      s"replace($acc, '|$a||$b|', '|$a$b|')"
+    }
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), p -> p <> '') AS ws
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+       |enc AS (SELECT doc_id, $folded AS s FROM tok),
+       |cnt AS (SELECT doc_id, (len(s) - len(replace(s, '||', ''))) // 2 - 1 AS n FROM enc),
+       |agg AS (SELECT doc_id, sum(n) AS bpe FROM cnt GROUP BY doc_id),
+       |nw AS (SELECT doc_id, len(ws) AS n_words FROM w)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |       CAST(coalesce(nw.n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(a.bpe, 0) AS BIGINT) AS bpe_tokens
+       |FROM documents d
+       |LEFT JOIN nw ON nw.doc_id = d.doc_id
+       |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** The MATERIALIZED graph's edge table read back from the bucketed layout
+    * (north-star "partitioned nodes/edges tables"): materializeGraph writes
+    * the flagship's triples through the TableFormat seam (16 subj-hash
+    * buckets); reading the layout and dropping the bucket column must
+    * reproduce q40's rows exactly — gating the bucketed write+read path
+    * itself in the artifact of record, not just in specs.
+    */
+  def q85EdgesLayout(s: SparkSession, dir: String): DataFrame = {
+    val p = layoutPath("kggraph_b16", dir, srcTable = "documents")
+    ensureLayout(p) {
+      KgPipeline.materializeGraph(
+        KgPipeline.run(s, dir, numPartitions = s.sparkContext.defaultParallelism), p)
+    }
+    s.read.parquet(s"$p/edges")
+      .select(col("subj"), col("pred"), col("obj"), col("url"), col("ts"))
+  }
+
+  def q85Sql: String = q40Sql
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2460,7 +2612,12 @@ object Queries {
     "q77_minhash_incr" -> ((q77MinHashIncremental _, q77Sql)),
     "q78_interval_join" -> ((q78IntervalJoin _, q78Sql)),
     "q79_corpus_report" -> ((q79CorpusReport _, q79Sql)),
-    "q80_dedup_incr_e2e" -> ((q80DedupIncrE2E _, q80Sql))
+    "q80_dedup_incr_e2e" -> ((q80DedupIncrE2E _, q80Sql)),
+    "q81_kg_incremental" -> ((q81KgIncremental _, q81Sql)),
+    "q82_kg_incr_nodes" -> ((q82KgIncrNodes _, q82Sql)),
+    "q83_minhash_stored_pruned" -> ((q83MinHashStoredPruned _, q83Sql)),
+    "q84_bpe_tokens" -> ((q84BpeTokens _, q84Sql)),
+    "q85_edges_layout" -> ((q85EdgesLayout _, q85Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

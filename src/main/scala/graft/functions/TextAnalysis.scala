@@ -198,6 +198,97 @@ object TextAnalysis {
       (score * 1000L >= lit(qualityThresholdMilli) * n && n > 0).as("keep"))
   }
 
+  // ------------------------------------------------------------- real BPE
+
+  /** Fixed BPE merges table, in PRIORITY order (the trained artifact of a
+    * real tokenizer, frozen closed-form like qualityLexicon): each entry
+    * merges two adjacent symbols into their concatenation. Compound
+    * operands ("th", "ti", …) appear only after the merge that produces
+    * them — validated below — which is what makes single-pass application
+    * exact (see bpeWordTokens).
+    */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "i" -> "n", "a" -> "n", "e" -> "r", "o" -> "n", "r" -> "e",
+    "a" -> "t", "e" -> "n", "o" -> "r", "s" -> "t", "e" -> "s", "a" -> "l",
+    "th" -> "e", "in" -> "g", "an" -> "d", "o" -> "u", "t" -> "i",
+    "ti" -> "on", "er" -> "s", "c" -> "h", "o" -> "m", "a" -> "r",
+    "l" -> "l", "w" -> "h")
+  require(bpeMerges.zipWithIndex.forall { case ((a, b), i) =>
+    val earlier = bpeMerges.take(i).map { case (x, y) => x + y }.toSet
+    (a.length == 1 || earlier(a)) && (b.length == 1 || earlier(b))
+  }, "bpeMerges is not well-ordered: a compound operand precedes its producing merge")
+
+  /** Reference STANDARD BPE encoder (the iterative algorithm every real
+    * tokenizer runs: repeatedly find the highest-priority merge with an
+    * adjacent occurrence, merge ALL its occurrences left-to-right
+    * non-overlapping, repeat until none applies). Spec-side ground truth
+    * for the Column form below.
+    */
+  def bpeEncodeReference(word: String): List[String] = {
+    var syms = word.map(_.toString).toList
+    var changed = true
+    while (changed) {
+      changed = false
+      bpeMerges.find { case (a, b) =>
+        syms.lazyZip(syms.drop(1)).exists { case (x, y) => x == a && y == b }
+      }.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case x :: y :: tl if x == a && y == b => out += (a + b); rest = tl
+          case x :: tl => out += x; rest = tl
+          case Nil => ()
+        }
+        syms = out.toList
+        changed = true
+      }
+    }
+    syms
+  }
+
+  /** EXACT BPE token count of one (lowercased, a-z-only) word as a pure
+    * Column chain: the symbol sequence is encoded as a bar-separated string
+    * ("||a||b||c||" — every boundary is exactly two bars) and each merge in
+    * priority order is ONE literal string replace of "|a||b|" with "|ab|"
+    * (the outer single bars keep the doubled-boundary invariant, and the
+    * two-bar gaps mean adjacent occurrences never share pattern chars, so
+    * left-to-right non-overlapping replace merges every occurrence — "llll"
+    * → "ll","ll", not "ll","l","l").
+    *
+    * Single pass in priority order IS standard BPE: merging pair (x,y) can
+    * never make an EARLIER merge (a,b) newly applicable — it removes x,y
+    * occurrences and creates the new symbol xy, whose neighbors become
+    * adjacent to xy, never to each other — so once a merge's occurrences
+    * are replaced it is exhausted forever. BpeSpec proves the chain equals
+    * bpeEncodeReference on adversarial inputs (repeat chains, cascades).
+    * Token count = boundary count − 1 = (#chars − #chars-without-"||")/2 − 1;
+    * the empty word encodes to "||" and counts 0.
+    *
+    * Every step is a codegen'd built-in (replace/length) — no UDF — and the
+    * merges table is a plain literal in the generated code, so the DuckDB
+    * oracle applies the IDENTICAL replace chain (q84).
+    */
+  def bpeWordTokens(azWord: Column): Column = {
+    val sep = concat(lit("||"), regexp_replace(azWord, "(.)", "$1||"))
+    val folded = bpeMerges.foldLeft(sep) { case (acc, (a, b)) =>
+      replace(acc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    ((length(folded) - length(replace(folded, lit("||"), lit("")))) / 2 - 1).cast("bigint")
+  }
+
+  /** (n_words, bpe_tokens) for a text column: whitespace words, normalized
+    * to their a-z characters, each BPE-encoded with the closed-form merges
+    * table; bpe_tokens is what a trainer's tokenizer would report for the
+    * letter content. One narrow pass, zero shuffles, zero UDFs.
+    */
+  def bpeTokenCountColumns(text: Column): Seq[Column] = {
+    val words = filter(split(lower(trim(coalesce(text, lit("")))), "\\s+"), w => w =!= "")
+    Seq(
+      size(words).cast("bigint").as("n_words"),
+      aggregate(words, lit(0L),
+        (acc, w) => acc + bpeWordTokens(regexp_replace(w, "[^a-z]", ""))).as("bpe_tokens"))
+  }
+
   def rollingHash(s: String): Long = {
     val M = (1L << 61) - 1
     var h = 0L

@@ -1203,6 +1203,93 @@ object Ann {
         (col("rank0") + 1).cast("bigint").as("rank"))
   }
 
+  /** MultiQueryTopK over stored PQ CODES with per-query cell filtering —
+    * the IVF-PQ twin of MultiQueryTopKCells: per query m carrying its own
+    * ADC table and probe set, a row is scored only when its stored cell is
+    * in m's probe set, and scoring is m table lookups over the 8-byte code
+    * instead of a float dot. The batched form of the production index probe:
+    * one codes-only, partition-pruned pass serves the whole batch, each
+    * query getting exactly its ivfPqTopK result.
+    */
+  class MultiQueryTopKCodes(
+      queries: Array[(Long, Array[Array[Long]], Set[Int])], k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Array[Byte], Int), Array[List[ScoredId]], Seq[QueryHits]] {
+    private def better(a: ScoredId, b: ScoredId): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def insert(buf: List[ScoredId], v: ScoredId): List[ScoredId] = {
+      val (pre, post) = buf.span(b => better(b, v))
+      val merged = pre ::: v :: post
+      if (merged.length > k) merged.take(k) else merged
+    }
+    def zero: Array[List[ScoredId]] = Array.fill(queries.length)(Nil)
+    def reduce(buf: Array[List[ScoredId]], row: (Long, Array[Byte], Int)): Array[List[ScoredId]] = {
+      val (id, codes, cell) = row
+      var m = 0
+      while (m < queries.length) {
+        if (queries(m)._3.contains(cell)) {
+          val tab = queries(m)._2
+          var score = 0L
+          var s = 0
+          while (s < codes.length) { score += tab(s)(codes(s) & 0xff); s += 1 }
+          val b = buf(m)
+          if (b.length < k || better(ScoredId(id, score), b.last)) buf(m) = insert(b, ScoredId(id, score))
+        }
+        m += 1
+      }
+      buf
+    }
+    def merge(a: Array[List[ScoredId]], b: Array[List[ScoredId]]): Array[List[ScoredId]] =
+      Array.tabulate(queries.length)(m => b(m).foldLeft(a(m))(insert))
+    def finish(buf: Array[List[ScoredId]]): Seq[QueryHits] =
+      queries.indices.map(m => QueryHits(queries(m)._1, buf(m)))
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[List[ScoredId]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[List[ScoredId]]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[QueryHits]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[QueryHits]]()
+  }
+
+  /** Batched IVF-PQ ANN over the cell-partitioned stored-codes layout: the
+    * scan's partition filter is the UNION of the M queries' probe sets and
+    * reads ONLY the 8-byte codes column (~32× less IO than the float
+    * layout); scoring is per-query ADC inside the aggregator combine. Each
+    * query's rows equal an independent `ivfPqTopK` call (the serving spec
+    * proves it). Output: (query_id, idCol, pq_dot, rank).
+    */
+  def multiQueryIvfPqPartitioned(
+      spark: SparkSession,
+      layoutPath: String,
+      idCol: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      kw: Int = 16
+  ): DataFrame = {
+    import spark.implicits._
+    val dim = queries.head._2.length
+    val cents = intCentroids(dim, nCells)
+    val books = pqCodebooks(dim, m, kw)
+    val qs = queries.map { case (qid, qv) =>
+      (qid, pqQueryTable(qv, books), rankCellsInt(milliScaled(qv), cents).take(nProbe).toSet)
+    }
+    val union = qs.flatMap(_._3).distinct.toSeq
+    val agg = new MultiQueryTopKCodes(qs, k)
+    spark.read.parquet(layoutPath)
+      .filter(col("cell").isin(union.map(Int.box): _*))
+      .select(col(idCol).cast("long"), col("codes"), col("cell").cast("int"))
+      .as[(Long, Array[Byte], Int)]
+      .select(agg.toColumn)
+      .flatMap(identity(_))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(
+        col("query_id"),
+        col("hit.id").as(idCol),
+        col("hit.score").as("pq_dot"),
+        (col("rank0") + 1).cast("bigint").as("rank"))
+  }
+
   /** Aggregator-based top-k per group: identical rows/columns to
     * topKPerGroup (groupCol, idCol, scoreCol, rank), different physical
     * shape (partial + final agg, ≤ k rows per group cross the shuffle).

@@ -198,10 +198,18 @@ object Dedup {
   }
 
   private def requireBandParams(spark: SparkSession, path: String, bands: Int, nBuckets: Int): Unit = {
-    val m = spark.read.parquet(s"$path/_meta").head()
-    require(m.getInt(0) == bands && m.getInt(1) == nBuckets,
-      s"band layout at $path was written with bands=${m.getInt(0)}, " +
-        s"nBuckets=${m.getInt(1)} but queried with bands=$bands, nBuckets=$nBuckets - " +
+    // read by NAME and demand exactly one meta row: a column reorder on
+    // rewrite, or a stale multi-row _meta left by a crashed rebuild, must
+    // fail loudly rather than validate arbitrary ordinals
+    val rows = spark.read.parquet(s"$path/_meta").collect()
+    require(rows.length == 1,
+      s"band layout at $path has ${rows.length} _meta rows (expected exactly 1) - " +
+        "refusing to guess which parameters the layout was written with")
+    val m = rows.head
+    val (mb, mn) = (m.getAs[Int]("bands"), m.getAs[Int]("n_buckets"))
+    require(mb == bands && mn == nBuckets,
+      s"band layout at $path was written with bands=$mb, " +
+        s"nBuckets=$mn but queried with bands=$bands, nBuckets=$nBuckets - " +
         "a mismatch silently drops candidate pairs")
   }
 
@@ -238,6 +246,14 @@ object Dedup {
     * `minHashCandidatesIncremental` (the spec proves it); the difference
     * is stored-side IO proportional to the APPEND's collision surface
     * instead of the corpus.
+    *
+    * Ordering contract, ENFORCED: the stored layout must already contain
+    * the new batch's keys (`appendBandLayout(newSigs)` before querying) —
+    * otherwise new-vs-new collision pairs would silently vanish. Rather
+    * than trusting the caller, the lineage audit below checks that the
+    * layout's recorded batches cover `allSigs` exactly (one tiny aggregate
+    * over the lineage log + one column-pruned id aggregate — zero IO
+    * against the layout's data files) and throws on a gap.
     */
   def minHashCandidatesStoredPruned(
       spark: SparkSession,
@@ -249,6 +265,11 @@ object Dedup {
       minEstJaccard: Double = 0.5
   ): DataFrame = {
     requireBandParams(spark, bandLayoutPath, bands, nBuckets)
+    require(
+      graft.sources.Tables.auditLayoutLineage(spark, bandLayoutPath, allSigs, "id"),
+      s"band layout at $bandLayoutPath does not cover allSigs - " +
+        "appendBandLayout the new batch BEFORE querying the pruned path, " +
+        "or new-vs-new collision pairs would be silently dropped")
     val newKeys = bandBucketed(spark, newSigs, bands, nBuckets)
     // the bucket set is bounded by nBuckets (a few hundred Ints) — safe to
     // collect and inline as a partition-pruning predicate

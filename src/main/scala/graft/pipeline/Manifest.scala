@@ -119,7 +119,7 @@ object Manifest {
     */
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0)
   private val jvmNonce: Long = new java.security.SecureRandom().nextInt(1024).toLong
-  private def nextRunSeq(): Long =
+  private[graft] def nextRunSeq(): Long =
     (System.currentTimeMillis() << 20) | (jvmNonce << 10) | (seqCounter.incrementAndGet() & 0x3ffL)
 
   private def deletePartitionDir(spark: SparkSession, outPath: String, key: Long): Unit = {

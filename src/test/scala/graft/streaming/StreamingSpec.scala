@@ -70,6 +70,67 @@ class StreamingSpec extends SparkSpec {
     assert(key(spark.read.parquet(s"$tmp/out")) == served)
   }
 
+  test("streaming CONTENT dedup: kept fingerprints equal batch exact-dedup survivors; replay drains nothing") {
+    val tmp = Files.createTempDirectory("graft-contentdedup").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // plant replay duplicates: 20 docs re-delivered under new ids with
+    // byte-different whitespace/case but identical NORMALIZED content — the
+    // case contentFingerprint exists for
+    val replayed = docs.limit(20)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("text", upper(concat(lit("  "), col("text"), lit(" "))))
+    docs.unionByName(replayed).write.mode("overwrite").parquet(s"$tmp/docs")
+
+    val dd = StreamIngest.streamDedupDocs(spark, s"$tmp/docs")
+    StreamIngest.runAvailableNow(dd, s"$tmp/ckpt", s"$tmp/out")
+    val kept = spark.read.parquet(s"$tmp/out")
+    val keptFps = kept.select("fp").collect().map(_.getString(0)).toSet
+    // exactly ONE survivor per distinct normalized content — the planted
+    // replays (distinct doc_ids, same fp) were dropped by keyed state
+    assert(kept.count() == keptFps.size.toLong)
+    val batchFps = docs.select(
+      graft.operators.Dedup.contentFingerprint(col("text")).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(keptFps == batchFps && batchFps.nonEmpty,
+      s"kept=${keptFps.size} batch=${batchFps.size}")
+    // the case-folded replays really did collide with their originals
+    assert(docs.count() + 20 > keptFps.size)
+
+    // exactly-once: a re-drain from the same checkpoint emits nothing
+    StreamIngest.runAvailableNow(dd, s"$tmp/ckpt", s"$tmp/out")
+    assert(spark.read.parquet(s"$tmp/out").count() == keptFps.size.toLong)
+  }
+
+  test("ANN serving over the IVF-PQ layout: per-query rows equal independent ivfPqTopK probes; re-drain appends nothing") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-annserve-pq").toString
+    val layout = s"$tmp/ivfpq"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.operators.Ann.ivfPqWriteLayout(spark, emb, "vec_id", "embedding", layout)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").cast("long").as("query_id"), col("embedding"))
+    queries.write.mode("overwrite").parquet(s"$tmp/queries")
+    StreamIngest.runAnnServePq(spark, s"$tmp/queries", layout, s"$tmp/ckpt", s"$tmp/out")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val served = key(spark.read.parquet(s"$tmp/out")
+      .select("query_id", "vec_id", "pq_dot", "rank"))
+    // each served query must equal its INDEPENDENT single-query compressed
+    // probe (the q73-gated path) — the batched serving loop is pure IO
+    // sharing, never a result change
+    val expected = queries.as[(Long, Array[Float])].collect().flatMap { case (qid, qv) =>
+      graft.operators.Ann.ivfPqTopK(spark, layout, "vec_id", qv, k = 20)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), r.getLong(1), (i + 1).toLong) }
+    }.toSet
+    assert(served == expected && expected.nonEmpty,
+      s"served=${served.size} expected=${expected.size}")
+    // exactly-once: second drain from the same checkpoint answers nothing new
+    StreamIngest.runAnnServePq(spark, s"$tmp/queries", layout, s"$tmp/ckpt", s"$tmp/out")
+    assert(key(spark.read.parquet(s"$tmp/out")
+      .select("query_id", "vec_id", "pq_dot", "rank")) == served)
+  }
+
   test("streaming recipe (sample + upsample): drain equals the batch recipe row for row") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-recipe").toString
