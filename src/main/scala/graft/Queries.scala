@@ -2312,26 +2312,49 @@ object Queries {
     * integers (per-mille / milli via cross-multiplied integer division),
     * so the report is bit-stable at any partitioning.
     */
-  def q79CorpusReport(s: SparkSession, dir: String): DataFrame = {
-    val scored = t(s, dir, "documents")
-      .select(col("source") +: TextAnalysis.qualityClassifierColumns(col("text")): _*)
+  /** The report's three phases, split so the INCREMENTAL form (q87) shares
+    * them: score (narrow classifier pass), aggregate (pure SUMS per source —
+    * the mergeable state), derive (the ratio columns, computed only at read
+    * time so stored state stays summable).
+    */
+  private def reportScored(docs: DataFrame): DataFrame =
+    docs.select(col("source") +: TextAnalysis.qualityClassifierColumns(col("text")): _*)
+
+  private def reportAggregate(scored: DataFrame): DataFrame =
     scored.groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
         sum(col("ft_score")).as("sum_score"))
-      .select(
-        col("source"), col("n_docs"), col("total_tokens"), col("kept_docs"),
-        // `div` (true integer division), NOT `/`: Divide promotes bigints to
-        // double, whose 53-bit mantissa would drop low bits once
-        // sum_score*1000 passes 2^53 — real at corpus scale — and skew the
-        // last digit off the oracle's exact `//`
-        expr("kept_docs * 1000 div n_docs").as("keep_per_mille"),
-        when(col("total_tokens") === 0, lit(0L))
-          .otherwise(expr("sum_score * 1000 div total_tokens"))
-          .as("mean_token_score_milli"))
+
+  private def reportDerive(agg: DataFrame): DataFrame =
+    agg.select(
+      col("source"), col("n_docs"), col("total_tokens"), col("kept_docs"),
+      // `div` (true integer division), NOT `/`: Divide promotes bigints to
+      // double, whose 53-bit mantissa would drop low bits once
+      // sum_score*1000 passes 2^53 — real at corpus scale — and skew the
+      // last digit off the oracle's exact `//`
+      expr("kept_docs * 1000 div n_docs").as("keep_per_mille"),
+      when(col("total_tokens") === 0, lit(0L))
+        .otherwise(expr("sum_score * 1000 div total_tokens"))
+        .as("mean_token_score_milli"))
+
+  /** Sum-merge of two report states over DOC-DISJOINT batches: every stored
+    * column is a plain sum, so states add with one full-outer join — the
+    * q82 node-table algebra applied to the curation report.
+    */
+  private def mergeReports(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = Seq("n_docs", "total_tokens", "kept_docs", "sum_score")
+    val l = a.select(col("source") +: cols.map(c => col(c).as(c + "_a")): _*)
+    val r = b.select(col("source") +: cols.map(c => col(c).as(c + "_b")): _*)
+    l.join(r, Seq("source"), "full_outer")
+      .select(col("source") +: cols.map(c =>
+        (coalesce(col(c + "_a"), lit(0L)) + coalesce(col(c + "_b"), lit(0L))).as(c)): _*)
   }
+
+  def q79CorpusReport(s: SparkSession, dir: String): DataFrame =
+    reportDerive(reportAggregate(reportScored(t(s, dir, "documents"))))
 
   def q79Sql: String =
     s"""WITH scored AS (
@@ -2531,6 +2554,55 @@ object Queries {
 
   def q85Sql: String = q40Sql
 
+  /** The RESUMABLE flagship landing (Manifest.runStage), oracle-gated: the
+    * full pipeline lands partitioned by url-hash part_key with per-
+    * partition lineage rows; the landed table must reproduce q40's rows
+    * exactly, AND a second invocation on unchanged input must compute ZERO
+    * partitions (the resume contract, enforced with a require in the gate
+    * itself — a driver run fails loudly if resume ever starts recomputing).
+    * This puts the checkpoint/resume machinery — the north rule's
+    * checkpoint/restart requirement — in the artifact of record, not only
+    * in PipelineSpec.
+    */
+  def q86KgResume(s: SparkSession, dir: String): DataFrame = {
+    val p = layoutPath("kgresume_p32", dir, srcTable = "documents")
+    ensureLayout(p) {
+      KgPipeline.runResumable(s, dir, s"$p/out", s"$p/manifest", nParts = 32)
+      val second = KgPipeline.runResumable(s, dir, s"$p/out", s"$p/manifest", nParts = 32)
+      require(second == 0L,
+        s"resume recomputed $second partitions on unchanged input")
+    }
+    s.read.parquet(s"$p/out")
+      .select(col("subj"), col("pred"), col("obj"), col("url"), col("ts"))
+  }
+
+  def q86Sql: String = q40Sql
+
+  /** The incrementally-MAINTAINED corpus report (q87): the q82 pattern
+    * applied to the curation side — the stored state is the PURE-SUM
+    * aggregate per source (n_docs, total_tokens, kept_docs, sum_score),
+    * day 2 aggregates ONLY its batch and sum-merges into a new snapshot,
+    * ratios are derived at read time. Gated on q79's SQL verbatim: the
+    * maintained report is byte-equal to a full recompute. The lesson it
+    * encodes: store summable state, never ratios — a stored per-mille
+    * cannot be merged.
+    */
+  def q87ReportIncr(s: SparkSession, dir: String): DataFrame = {
+    val p = layoutPath("report_parity", dir, srcTable = "documents")
+    ensureLayout(p) {
+      val docs = t(s, dir, "documents")
+      Tables.format.write(
+        reportAggregate(reportScored(docs.filter(col("doc_id") % 2 === 0))), s"$p/state_1")
+      Tables.format.write(
+        mergeReports(
+          s.read.parquet(s"$p/state_1"),
+          reportAggregate(reportScored(docs.filter(col("doc_id") % 2 =!= 0)))), s"$p/state_2")
+    }
+    reportDerive(s.read.parquet(s"$p/state_2"))
+  }
+
+  def q87Sql: String = q79Sql
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2617,7 +2689,9 @@ object Queries {
     "q82_kg_incr_nodes" -> ((q82KgIncrNodes _, q82Sql)),
     "q83_minhash_stored_pruned" -> ((q83MinHashStoredPruned _, q83Sql)),
     "q84_bpe_tokens" -> ((q84BpeTokens _, q84Sql)),
-    "q85_edges_layout" -> ((q85EdgesLayout _, q85Sql))
+    "q85_edges_layout" -> ((q85EdgesLayout _, q85Sql)),
+    "q86_kg_resume" -> ((q86KgResume _, q86Sql)),
+    "q87_report_incr" -> ((q87ReportIncr _, q87Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):
