@@ -1572,7 +1572,9 @@ object Queries {
     * the version participates in the cache key, so a formula edit can never
     * be served a layout built by the previous formula.
     */
-  private val LayoutVersion = "v2"
+  // v3: the ivfpq layout gained a _meta parameter record validated on every
+  // probe/append — v2-era cached layouts lack it and must rebuild
+  private val LayoutVersion = "v3"
 
   /** `kind` must encode every layout PARAMETER (cell/plane/codebook counts)
     * — e.g. "ivfcells_c16" — so a parameter change misses the cache instead
@@ -2340,18 +2342,12 @@ object Queries {
         .otherwise(expr("sum_score * 1000 div total_tokens"))
         .as("mean_token_score_milli"))
 
-  /** Sum-merge of two report states over DOC-DISJOINT batches: every stored
-    * column is a plain sum, so states add with one full-outer join — the
-    * q82 node-table algebra applied to the curation report.
+  /** Sum-merge of two report states over DOC-DISJOINT batches — the ONE
+    * shared merge algebra (KgPipeline.sumMerge) applied to the report key.
     */
-  private def mergeReports(a: DataFrame, b: DataFrame): DataFrame = {
-    val cols = Seq("n_docs", "total_tokens", "kept_docs", "sum_score")
-    val l = a.select(col("source") +: cols.map(c => col(c).as(c + "_a")): _*)
-    val r = b.select(col("source") +: cols.map(c => col(c).as(c + "_b")): _*)
-    l.join(r, Seq("source"), "full_outer")
-      .select(col("source") +: cols.map(c =>
-        (coalesce(col(c + "_a"), lit(0L)) + coalesce(col(c + "_b"), lit(0L))).as(c)): _*)
-  }
+  private def mergeReports(a: DataFrame, b: DataFrame): DataFrame =
+    KgPipeline.sumMerge(a, b, "source",
+      Seq("n_docs", "total_tokens", "kept_docs", "sum_score"))
 
   def q79CorpusReport(s: SparkSession, dir: String): DataFrame =
     reportDerive(reportAggregate(reportScored(t(s, dir, "documents"))))

@@ -785,9 +785,29 @@ object Ann {
       kw: Int = 16
   ): Unit =
     ivfPqAssigned(spark, embeddings, idCol, vecCol, nCells, m, kw).foreach { df =>
+      import spark.implicits._
       graft.sources.Tables.format.writePartitioned(df, path, "cell")
+      // the layout's parameters are PART of the layout (the band-layout
+      // rule): a probe ranking cells against different centroids, or an ADC
+      // table built from different codebooks, silently returns wrong top-k —
+      // so persist them under the path and validate on every append/probe
+      graft.sources.Tables.format.write(
+        Seq((nCells, m, kw)).toDF("n_cells", "m", "kw"), s"$path/_meta")
       graft.sources.Tables.recordLayoutLineage(path, "build", embeddings, idCol)
     }
+
+  private def requireIvfPqParams(
+      spark: SparkSession, path: String, nCells: Int, m: Int, kw: Int): Unit = {
+    val rows = spark.read.parquet(s"$path/_meta").collect()
+    require(rows.length == 1,
+      s"ivfpq layout at $path has ${rows.length} _meta rows (expected exactly 1)")
+    val r = rows.head
+    val (mc, mm, mk) = (r.getAs[Int]("n_cells"), r.getAs[Int]("m"), r.getAs[Int]("kw"))
+    require(mc == nCells && mm == m && mk == kw,
+      s"ivfpq layout at $path was written with nCells=$mc, m=$mm, kw=$mk " +
+        s"but queried with nCells=$nCells, m=$m, kw=$kw - a mismatch silently " +
+        "mis-probes cells or mis-decodes codes")
+  }
 
   private def ivfPqAssigned(
       spark: SparkSession,
@@ -830,11 +850,13 @@ object Ann {
       nCells: Int = 16,
       m: Int = 8,
       kw: Int = 16
-  ): Unit =
+  ): Unit = {
+    requireIvfPqParams(spark, path, nCells, m, kw)
     ivfPqAssigned(spark, newVectors, idCol, vecCol, nCells, m, kw).foreach { df =>
       graft.sources.Tables.format.appendPartitioned(df, path, "cell")
       graft.sources.Tables.recordLayoutLineage(path, "append", newVectors, idCol)
     }
+  }
 
   /** IVF-PQ top-k: partition-pruned scan of the probed cells, ADC scoring
     * over the stored codes. Rows equal "PQ ADC restricted to the gate-IVF
@@ -851,6 +873,7 @@ object Ann {
       m: Int = 8,
       kw: Int = 16
   ): DataFrame = {
+    requireIvfPqParams(spark, layoutPath, nCells, m, kw)
     val cents = intCentroids(query.length, nCells)
     val probe = rankCellsInt(milliScaled(query), cents).take(nProbe).toSeq
     val qtab = pqQueryTable(query, pqCodebooks(query.length, m, kw))
@@ -1051,6 +1074,59 @@ object Ann {
   /** One query's results out of the multi-query aggregator. */
   final case class QueryHits(query_id: Long, hits: Seq[ScoredId])
 
+  /** THE (query_id, id, score, rank) projection every multi-query path
+    * shares: posexplode the per-query hit lists in rank order.
+    */
+  private def hitsToDf(
+      hits: org.apache.spark.sql.Dataset[QueryHits],
+      idCol: String,
+      scoreName: String
+  ): DataFrame =
+    hits
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(
+        col("query_id"),
+        col("hit.id").as(idCol),
+        col("hit.score").as(scoreName),
+        (col("rank0") + 1).cast("bigint").as("rank"))
+
+  /** Shared buffer machinery of EVERY multi-query top-k aggregator (float
+    * dot, cell-filtered float dot, cell-filtered ADC): M bounded
+    * score-ordered lists, the tie-break order, the bounded insert with the
+    * cheap full-buffer reject, merge, finish, encoders. Subclasses supply
+    * only `reduce` — how a corpus row scores against query m — so the
+    * ordering logic has ONE definition and a tie-break change can never
+    * desynchronize the float and compressed serving paths from their
+    * single-query twins.
+    */
+  abstract class MultiQueryTopKBase[R](queryIds: Seq[Long], k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        R, Array[List[ScoredId]], Seq[QueryHits]] {
+    private def better(a: ScoredId, b: ScoredId): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def insert(buf: List[ScoredId], v: ScoredId): List[ScoredId] = {
+      val (pre, post) = buf.span(b => better(b, v))
+      val merged = pre ::: v :: post
+      if (merged.length > k) merged.take(k) else merged
+    }
+    /** Bounded offer: a full buffer whose tail beats the new score skips
+      * the insert entirely (the common case once the heap warms up).
+      */
+    protected final def offer(buf: Array[List[ScoredId]], m: Int, id: Long, score: Long): Unit = {
+      val b = buf(m)
+      if (b.length < k || better(ScoredId(id, score), b.last)) buf(m) = insert(b, ScoredId(id, score))
+    }
+    def zero: Array[List[ScoredId]] = Array.fill(queryIds.length)(Nil)
+    def merge(a: Array[List[ScoredId]], b: Array[List[ScoredId]]): Array[List[ScoredId]] =
+      Array.tabulate(queryIds.length)(m => b(m).foldLeft(a(m))(insert))
+    def finish(buf: Array[List[ScoredId]]): Seq[QueryHits] =
+      queryIds.indices.map(m => QueryHits(queryIds(m), buf(m)))
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[List[ScoredId]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[List[ScoredId]]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[QueryHits]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[QueryHits]]()
+  }
+
   /** Score-inside-combine batched ANN: ONE typed Aggregator whose buffer is
     * M bounded top-k lists, scoring every (corpus row, query) pair INSIDE
     * `reduce` — the M× row amplification of the flatMap-then-aggregate form
@@ -1063,37 +1139,16 @@ object Ann {
     * million-query batch would switch to a broadcast handle, same shape.
     */
   class MultiQueryTopK(queries: Array[(Long, Array[Float])], k: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[
-        (Long, Array[Float]), Array[List[ScoredId]], Seq[QueryHits]] {
-    private def better(a: ScoredId, b: ScoredId): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
-    private def insert(buf: List[ScoredId], v: ScoredId): List[ScoredId] = {
-      val (pre, post) = buf.span(b => better(b, v))
-      val merged = pre ::: v :: post
-      if (merged.length > k) merged.take(k) else merged
-    }
-    def zero: Array[List[ScoredId]] = Array.fill(queries.length)(Nil)
+      extends MultiQueryTopKBase[(Long, Array[Float])](queries.map(_._1).toSeq, k) {
     def reduce(buf: Array[List[ScoredId]], row: (Long, Array[Float])): Array[List[ScoredId]] = {
       val (id, v) = row
       var m = 0
       while (m < queries.length) {
-        // cheap reject: a full buffer whose tail beats the new score skips
-        // the insert entirely (the common case once the heap warms up)
-        val s = Sketches.scaledDot(v, queries(m)._2)
-        val b = buf(m)
-        if (b.length < k || better(ScoredId(id, s), b.last)) buf(m) = insert(b, ScoredId(id, s))
+        offer(buf, m, id, Sketches.scaledDot(v, queries(m)._2))
         m += 1
       }
       buf
     }
-    def merge(a: Array[List[ScoredId]], b: Array[List[ScoredId]]): Array[List[ScoredId]] =
-      Array.tabulate(queries.length)(m => b(m).foldLeft(a(m))(insert))
-    def finish(buf: Array[List[ScoredId]]): Seq[QueryHits] =
-      queries.indices.map(m => QueryHits(queries(m)._1, buf(m)))
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[List[ScoredId]]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[List[ScoredId]]]()
-    def outputEncoder: org.apache.spark.sql.Encoder[Seq[QueryHits]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[QueryHits]]()
   }
 
   /** Batched multi-query exact top-k in one corpus pass with NO M×
@@ -1111,17 +1166,13 @@ object Ann {
   ): DataFrame = {
     import spark.implicits._
     val agg = new MultiQueryTopK(queries, k)
-    embeddings
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .select(agg.toColumn)
-      .flatMap(identity(_))
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("rank0", "hit")))
-      .select(
-        col("query_id"),
-        col("hit.id").as(idCol),
-        col("hit.score").as("scaled_dot"),
-        (col("rank0") + 1).cast("bigint").as("rank"))
+    hitsToDf(
+      embeddings
+        .select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Array[Float])]
+        .select(agg.toColumn)
+        .flatMap(identity(_)),
+      idCol, "scaled_dot")
   }
 
   /** MultiQueryTopK over a CELL-AWARE corpus row: query m scores a row only
@@ -1133,37 +1184,17 @@ object Ann {
     */
   class MultiQueryTopKCells(
       queries: Array[(Long, Array[Float], Set[Int])], k: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[
-        (Long, Array[Float], Int), Array[List[ScoredId]], Seq[QueryHits]] {
-    private def better(a: ScoredId, b: ScoredId): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
-    private def insert(buf: List[ScoredId], v: ScoredId): List[ScoredId] = {
-      val (pre, post) = buf.span(b => better(b, v))
-      val merged = pre ::: v :: post
-      if (merged.length > k) merged.take(k) else merged
-    }
-    def zero: Array[List[ScoredId]] = Array.fill(queries.length)(Nil)
+      extends MultiQueryTopKBase[(Long, Array[Float], Int)](queries.map(_._1).toSeq, k) {
     def reduce(buf: Array[List[ScoredId]], row: (Long, Array[Float], Int)): Array[List[ScoredId]] = {
       val (id, v, cell) = row
       var m = 0
       while (m < queries.length) {
-        if (queries(m)._3.contains(cell)) {
-          val s = Sketches.scaledDot(v, queries(m)._2)
-          val b = buf(m)
-          if (b.length < k || better(ScoredId(id, s), b.last)) buf(m) = insert(b, ScoredId(id, s))
-        }
+        if (queries(m)._3.contains(cell))
+          offer(buf, m, id, Sketches.scaledDot(v, queries(m)._2))
         m += 1
       }
       buf
     }
-    def merge(a: Array[List[ScoredId]], b: Array[List[ScoredId]]): Array[List[ScoredId]] =
-      Array.tabulate(queries.length)(m => b(m).foldLeft(a(m))(insert))
-    def finish(buf: Array[List[ScoredId]]): Seq[QueryHits] =
-      queries.indices.map(m => QueryHits(queries(m)._1, buf(m)))
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[List[ScoredId]]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[List[ScoredId]]]()
-    def outputEncoder: org.apache.spark.sql.Encoder[Seq[QueryHits]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[QueryHits]]()
   }
 
   /** Batched IVF ANN over the cell-partitioned layout: the scan's partition
@@ -1189,18 +1220,14 @@ object Ann {
     }
     val union = qs.flatMap(_._3).distinct.toSeq
     val agg = new MultiQueryTopKCells(qs, k)
-    spark.read.parquet(layoutPath)
-      .filter(col("cell").isin(union.map(Int.box): _*))
-      .select(col(idCol).cast("long"), col(vecCol), col("cell").cast("int"))
-      .as[(Long, Array[Float], Int)]
-      .select(agg.toColumn)
-      .flatMap(identity(_))
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("rank0", "hit")))
-      .select(
-        col("query_id"),
-        col("hit.id").as(idCol),
-        col("hit.score").as("scaled_dot"),
-        (col("rank0") + 1).cast("bigint").as("rank"))
+    hitsToDf(
+      spark.read.parquet(layoutPath)
+        .filter(col("cell").isin(union.map(Int.box): _*))
+        .select(col(idCol).cast("long"), col(vecCol), col("cell").cast("int"))
+        .as[(Long, Array[Float], Int)]
+        .select(agg.toColumn)
+        .flatMap(identity(_)),
+      idCol, "scaled_dot")
   }
 
   /** MultiQueryTopK over stored PQ CODES with per-query cell filtering —
@@ -1213,16 +1240,7 @@ object Ann {
     */
   class MultiQueryTopKCodes(
       queries: Array[(Long, Array[Array[Long]], Set[Int])], k: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[
-        (Long, Array[Byte], Int), Array[List[ScoredId]], Seq[QueryHits]] {
-    private def better(a: ScoredId, b: ScoredId): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
-    private def insert(buf: List[ScoredId], v: ScoredId): List[ScoredId] = {
-      val (pre, post) = buf.span(b => better(b, v))
-      val merged = pre ::: v :: post
-      if (merged.length > k) merged.take(k) else merged
-    }
-    def zero: Array[List[ScoredId]] = Array.fill(queries.length)(Nil)
+      extends MultiQueryTopKBase[(Long, Array[Byte], Int)](queries.map(_._1).toSeq, k) {
     def reduce(buf: Array[List[ScoredId]], row: (Long, Array[Byte], Int)): Array[List[ScoredId]] = {
       val (id, codes, cell) = row
       var m = 0
@@ -1232,21 +1250,12 @@ object Ann {
           var score = 0L
           var s = 0
           while (s < codes.length) { score += tab(s)(codes(s) & 0xff); s += 1 }
-          val b = buf(m)
-          if (b.length < k || better(ScoredId(id, score), b.last)) buf(m) = insert(b, ScoredId(id, score))
+          offer(buf, m, id, score)
         }
         m += 1
       }
       buf
     }
-    def merge(a: Array[List[ScoredId]], b: Array[List[ScoredId]]): Array[List[ScoredId]] =
-      Array.tabulate(queries.length)(m => b(m).foldLeft(a(m))(insert))
-    def finish(buf: Array[List[ScoredId]]): Seq[QueryHits] =
-      queries.indices.map(m => QueryHits(queries(m)._1, buf(m)))
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[List[ScoredId]]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[List[ScoredId]]]()
-    def outputEncoder: org.apache.spark.sql.Encoder[Seq[QueryHits]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[QueryHits]]()
   }
 
   /** Batched IVF-PQ ANN over the cell-partitioned stored-codes layout: the
@@ -1268,6 +1277,7 @@ object Ann {
       kw: Int = 16
   ): DataFrame = {
     import spark.implicits._
+    requireIvfPqParams(spark, layoutPath, nCells, m, kw)
     val dim = queries.head._2.length
     val cents = intCentroids(dim, nCells)
     val books = pqCodebooks(dim, m, kw)
@@ -1276,18 +1286,14 @@ object Ann {
     }
     val union = qs.flatMap(_._3).distinct.toSeq
     val agg = new MultiQueryTopKCodes(qs, k)
-    spark.read.parquet(layoutPath)
-      .filter(col("cell").isin(union.map(Int.box): _*))
-      .select(col(idCol).cast("long"), col("codes"), col("cell").cast("int"))
-      .as[(Long, Array[Byte], Int)]
-      .select(agg.toColumn)
-      .flatMap(identity(_))
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("rank0", "hit")))
-      .select(
-        col("query_id"),
-        col("hit.id").as(idCol),
-        col("hit.score").as("pq_dot"),
-        (col("rank0") + 1).cast("bigint").as("rank"))
+    hitsToDf(
+      spark.read.parquet(layoutPath)
+        .filter(col("cell").isin(union.map(Int.box): _*))
+        .select(col(idCol).cast("long"), col("codes"), col("cell").cast("int"))
+        .as[(Long, Array[Byte], Int)]
+        .select(agg.toColumn)
+        .flatMap(identity(_)),
+      idCol, "pq_dot")
   }
 
   /** Aggregator-based top-k per group: identical rows/columns to

@@ -260,7 +260,12 @@ object KgPipeline {
     import graft.sources.Tables
     val out = dedupTriples(triples(spark, pages)).withColumn("batch", lit(batchId))
     Tables.format.overwritePartitions(out, path, "batch")
-    Tables.recordLayoutLineage(path, s"batch=$batchId", pages.toDF(), "url")
+    // idempotency key = the batch: the data write REPLACES the batch
+    // partition, so a re-landing must supersede its lineage row, not
+    // double-append it (a doubled row would fail the audit forever on
+    // byte-correct data)
+    Tables.recordLayoutLineage(path, s"batch=$batchId", pages.toDF(), "url",
+      idempotencyKey = Some(s"batch$batchId"))
   }
 
   /** Incremental node-table maintenance — the aggregate-update half of the
@@ -272,17 +277,22 @@ object KgPipeline {
     * re-aggregated. q82 gates the maintained table against q55's SQL
     * verbatim, proving update-by-merge == full recompute.
     */
-  def mergeNodeTables(a: DataFrame, b: DataFrame): DataFrame = {
-    val l = a.select(col("node"), col("out_degree").as("o1"),
-      col("in_degree").as("i1"), col("n_urls").as("u1"))
-    val r = b.select(col("node"), col("out_degree").as("o2"),
-      col("in_degree").as("i2"), col("n_urls").as("u2"))
-    l.join(r, Seq("node"), "full_outer")
-      .select(
-        col("node"),
-        (coalesce(col("o1"), lit(0L)) + coalesce(col("o2"), lit(0L))).as("out_degree"),
-        (coalesce(col("i1"), lit(0L)) + coalesce(col("i2"), lit(0L))).as("in_degree"),
-        (coalesce(col("u1"), lit(0L)) + coalesce(col("u2"), lit(0L))).as("n_urls"))
+  def mergeNodeTables(a: DataFrame, b: DataFrame): DataFrame =
+    sumMerge(a, b, "node", Seq("out_degree", "in_degree", "n_urls"))
+
+  /** THE sum-merge algebra every incrementally-maintained aggregate shares
+    * (node table q82, corpus report q87): full-outer join two stored states
+    * on the key, null→0, column-wise add. Valid whenever the states were
+    * aggregated over disjoint input batches and every stored column is a
+    * plain sum — which is why maintained state must store SUMS and derive
+    * ratios at read time.
+    */
+  def sumMerge(a: DataFrame, b: DataFrame, key: String, sumCols: Seq[String]): DataFrame = {
+    val l = a.select(col(key) +: sumCols.map(c => col(c).as(c + "_a")): _*)
+    val r = b.select(col(key) +: sumCols.map(c => col(c).as(c + "_b")): _*)
+    l.join(r, Seq(key), "full_outer")
+      .select(col(key) +: sumCols.map(c =>
+        (coalesce(col(c + "_a"), lit(0L)) + coalesce(col(c + "_b"), lit(0L))).as(c)): _*)
   }
 
   /** S7/C11 — golden file serialization (write_to_file,

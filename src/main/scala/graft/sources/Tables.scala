@@ -99,15 +99,25 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Layout lineage: one row appended per layout mutation, under
+  /** Layout lineage: one row recorded per layout mutation, under
     * `<layoutPath>/_lineage` (the underscore prefix keeps it invisible to
     * the layout's data scan): (op, rows, id_fp, run_seq). `id_fp` is the
     * Manifest family's order-independent xor fingerprint of the batch's
     * ids, so an auditor can answer "which source batches are IN this
     * layout, and does the union still match the source?" without listing
     * data files. One tiny aggregate over the (column-pruned) batch ids.
+    *
+    * `idempotencyKey`: pass it when the DATA write is idempotent per batch
+    * (dynamic partition overwrite — re-landing a day replaces that day's
+    * files). The lineage row then lands in `_lineage/key=<k>` with
+    * OVERWRITE, so a crash-driven or routine re-run supersedes its own
+    * lineage row instead of double-appending it — without this, a re-landed
+    * batch would fail `auditLayoutLineage` forever on byte-correct data.
+    * Append-only layouts (where a re-run really does add rows twice) keep
+    * the default append so the audit correctly flags the duplication.
     */
-  def recordLayoutLineage(path: String, op: String, batch: DataFrame, idCol: String): Unit = {
+  def recordLayoutLineage(path: String, op: String, batch: DataFrame, idCol: String,
+      idempotencyKey: Option[String] = None): Unit = {
     val row = batch
       .agg(
         count(lit(1)).as("rows"),
@@ -122,7 +132,13 @@ object Tables {
         // the Manifest family's collision-resistant sequence, not bare
         // millis: two appends in the same millisecond stay ordered
         lit(graft.pipeline.Manifest.nextRunSeq()).as("run_seq"))
-    format.append(row, s"$path/_lineage")
+    idempotencyKey match {
+      // key=<k> is partition-style naming, so readLayoutLineage's parquet
+      // read discovers `key` as a partition column — audit aggregates are
+      // key-agnostic either way
+      case Some(k) => format.write(row, s"$path/_lineage/key=$k")
+      case None    => format.append(row, s"$path/_lineage")
+    }
   }
 
   def readLayoutLineage(spark: SparkSession, path: String): DataFrame =

@@ -239,14 +239,15 @@ class PipelineSpec extends SparkSpec {
     // IO against the layout's data files
     assert(Tables.auditLayoutLineage(spark, p, Tables.pages(spark, sfDir).toDF(), "url"))
 
-    // a day's re-run is idempotent: dynamic overwrite rewrites ONLY that
-    // day's partition, merged rows unchanged
+    // a day's re-run is idempotent END TO END: dynamic overwrite rewrites
+    // ONLY that day's partition, merged rows unchanged — and the lineage
+    // row is SUPERSEDED (idempotency-keyed overwrite), not double-appended,
+    // so the audit still vouches for the byte-correct layout
     KgPipeline.writeTriplesBatch(spark, pagesB, p, 1)
     assert(tripleSet(spark.read.parquet(p)) == merged)
     assert(day1Files == before)
-    // ...and the re-landing is VISIBLE in the log: the audit now flags the
-    // double-recorded batch rather than vouching blindly
-    assert(!Tables.auditLayoutLineage(spark, p, Tables.pages(spark, sfDir).toDF(), "url"))
+    assert(Tables.auditLayoutLineage(spark, p, Tables.pages(spark, sfDir).toDF(), "url"),
+      "a re-landed batch double-appended its lineage row")
   }
 
   test("mergeNodeTables: degree-sum merge of batch-disjoint aggregates equals the full recompute") {

@@ -93,8 +93,15 @@ class StreamingSpec extends SparkSpec {
       .distinct().collect().map(_.getString(0)).toSet
     assert(keptFps == batchFps && batchFps.nonEmpty,
       s"kept=${keptFps.size} batch=${batchFps.size}")
-    // the case-folded replays really did collide with their originals
-    assert(docs.count() + 20 > keptFps.size)
+    // the case-folded replays really did collide with their originals: the
+    // mangled texts normalize to fingerprints the ORIGINAL corpus already
+    // has (this is the assertion that fails if contentFingerprint stops
+    // normalizing case/whitespace)
+    val replayFps = replayed
+      .select(graft.operators.Dedup.contentFingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    assert(replayFps.nonEmpty && replayFps.subsetOf(batchFps),
+      s"replays did not collide: ${(replayFps -- batchFps).size} novel fps")
 
     // exactly-once: a re-drain from the same checkpoint emits nothing
     StreamIngest.runAvailableNow(dd, s"$tmp/ckpt", s"$tmp/out")
