@@ -1572,9 +1572,10 @@ object Queries {
     * the version participates in the cache key, so a formula edit can never
     * be served a layout built by the previous formula.
     */
-  // v3: the ivfpq layout gained a _meta parameter record validated on every
-  // probe/append — v2-era cached layouts lack it and must rebuild
-  private val LayoutVersion = "v3"
+  // v4: every parametric layout (ivf cells, lsh buckets, pq codes, ivfpq,
+  // band keys) now records its parameters in _meta, validated on every
+  // probe/append — earlier cached layouts lack the record and must rebuild
+  private val LayoutVersion = "v4"
 
   /** `kind` must encode every layout PARAMETER (cell/plane/codebook counts)
     * — e.g. "ivfcells_c16" — so a parameter change misses the cache instead

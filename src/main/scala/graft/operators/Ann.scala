@@ -354,6 +354,7 @@ object Ann {
   ): Unit =
     ivfAssigned(spark, embeddings, idCol, vecCol, nCells).foreach { df =>
       graft.sources.Tables.format.writePartitioned(df, path, "cell")
+      graft.sources.Tables.writeLayoutMeta(spark, path, "n_cells" -> nCells)
       graft.sources.Tables.recordLayoutLineage(path, "build", embeddings, idCol)
     }
 
@@ -373,6 +374,7 @@ object Ann {
       nCells: Int = 16
   ): Unit =
     ivfAssigned(spark, newVectors, idCol, vecCol, nCells).foreach { df =>
+      graft.sources.Tables.requireLayoutMeta(spark, path, "n_cells" -> nCells)
       graft.sources.Tables.format.appendPartitioned(df, path, "cell")
       graft.sources.Tables.recordLayoutLineage(path, "append", newVectors, idCol)
     }
@@ -394,6 +396,7 @@ object Ann {
       nProbe: Int = 4
   ): DataFrame = {
     import spark.implicits._
+    graft.sources.Tables.requireLayoutMeta(spark, layoutPath, "n_cells" -> nCells)
     val cents = intCentroids(query.length, nCells)
     val probe = rankCellsInt(milliScaled(query), cents).take(nProbe).toSeq
     val q = spark.sparkContext.broadcast(query)
@@ -422,6 +425,7 @@ object Ann {
   ): Unit =
     lshAssigned(spark, embeddings, idCol, vecCol, nPlanes).foreach { df =>
       graft.sources.Tables.format.writePartitioned(df, path, "bucket")
+      graft.sources.Tables.writeLayoutMeta(spark, path, "n_planes" -> nPlanes)
       graft.sources.Tables.recordLayoutLineage(path, "build", embeddings, idCol)
     }
 
@@ -461,6 +465,7 @@ object Ann {
       nPlanes: Int = 5
   ): Unit =
     lshAssigned(spark, newVectors, idCol, vecCol, nPlanes).foreach { df =>
+      graft.sources.Tables.requireLayoutMeta(spark, path, "n_planes" -> nPlanes)
       graft.sources.Tables.format.appendPartitioned(df, path, "bucket")
       graft.sources.Tables.recordLayoutLineage(path, "append", newVectors, idCol)
     }
@@ -480,6 +485,7 @@ object Ann {
       nPlanes: Int = 5
   ): DataFrame = {
     import spark.implicits._
+    graft.sources.Tables.requireLayoutMeta(spark, layoutPath, "n_planes" -> nPlanes)
     val planes = intPlanes(query.length, nPlanes)
     val qSig = signBitsInt(milliScaled(query), planes)
     val probes = (qSig +: (0 until nPlanes).map(b => qSig ^ (1L << b))).distinct
@@ -677,6 +683,7 @@ object Ann {
   ): Unit =
     pqCoded(spark, embeddings, idCol, vecCol, m, kw).foreach { df =>
       graft.sources.Tables.format.write(df, path)
+      graft.sources.Tables.writeLayoutMeta(spark, path, "m" -> m, "kw" -> kw)
       graft.sources.Tables.recordLayoutLineage(path, "build", embeddings, idCol)
     }
 
@@ -715,6 +722,7 @@ object Ann {
       kw: Int = 16
   ): Unit =
     pqCoded(spark, newVectors, idCol, vecCol, m, kw).foreach { df =>
+      graft.sources.Tables.requireLayoutMeta(spark, path, "m" -> m, "kw" -> kw)
       graft.sources.Tables.format.append(df, path)
       graft.sources.Tables.recordLayoutLineage(path, "append", newVectors, idCol)
     }
@@ -762,6 +770,7 @@ object Ann {
       m: Int = 8,
       kw: Int = 16
   ): DataFrame = {
+    graft.sources.Tables.requireLayoutMeta(spark, layoutPath, "m" -> m, "kw" -> kw)
     val qtab = pqQueryTable(query, pqCodebooks(query.length, m, kw))
     adcTopK(spark, spark.read.parquet(layoutPath), idCol, qtab, k)
   }
@@ -785,29 +794,20 @@ object Ann {
       kw: Int = 16
   ): Unit =
     ivfPqAssigned(spark, embeddings, idCol, vecCol, nCells, m, kw).foreach { df =>
-      import spark.implicits._
       graft.sources.Tables.format.writePartitioned(df, path, "cell")
       // the layout's parameters are PART of the layout (the band-layout
       // rule): a probe ranking cells against different centroids, or an ADC
       // table built from different codebooks, silently returns wrong top-k —
       // so persist them under the path and validate on every append/probe
-      graft.sources.Tables.format.write(
-        Seq((nCells, m, kw)).toDF("n_cells", "m", "kw"), s"$path/_meta")
+      graft.sources.Tables.writeLayoutMeta(spark, path,
+        "n_cells" -> nCells, "m" -> m, "kw" -> kw)
       graft.sources.Tables.recordLayoutLineage(path, "build", embeddings, idCol)
     }
 
   private def requireIvfPqParams(
-      spark: SparkSession, path: String, nCells: Int, m: Int, kw: Int): Unit = {
-    val rows = spark.read.parquet(s"$path/_meta").collect()
-    require(rows.length == 1,
-      s"ivfpq layout at $path has ${rows.length} _meta rows (expected exactly 1)")
-    val r = rows.head
-    val (mc, mm, mk) = (r.getAs[Int]("n_cells"), r.getAs[Int]("m"), r.getAs[Int]("kw"))
-    require(mc == nCells && mm == m && mk == kw,
-      s"ivfpq layout at $path was written with nCells=$mc, m=$mm, kw=$mk " +
-        s"but queried with nCells=$nCells, m=$m, kw=$kw - a mismatch silently " +
-        "mis-probes cells or mis-decodes codes")
-  }
+      spark: SparkSession, path: String, nCells: Int, m: Int, kw: Int): Unit =
+    graft.sources.Tables.requireLayoutMeta(spark, path,
+      "n_cells" -> nCells, "m" -> m, "kw" -> kw)
 
   private def ivfPqAssigned(
       spark: SparkSession,
@@ -1214,6 +1214,7 @@ object Ann {
       nProbe: Int = 4
   ): DataFrame = {
     import spark.implicits._
+    graft.sources.Tables.requireLayoutMeta(spark, layoutPath, "n_cells" -> nCells)
     val cents = intCentroids(queries.head._2.length, nCells)
     val qs = queries.map { case (qid, qv) =>
       (qid, qv, rankCellsInt(milliScaled(qv), cents).take(nProbe).toSet)

@@ -185,33 +185,19 @@ object Dedup {
       bands: Int = 16,
       nBuckets: Int = 256
   ): Unit = {
-    import spark.implicits._
     graft.sources.Tables.format.writePartitioned(
       bandBucketed(spark, sigs, bands, nBuckets), path, "bucket")
     // the layout's parameters are PART of the layout: a reader pruning with
     // different bands/nBuckets than the writer would silently drop pairs,
     // so they are persisted under the path (underscore dir — invisible to
     // the data scan) and validated on every append and pruned read
-    graft.sources.Tables.format.write(
-      Seq((bands, nBuckets)).toDF("bands", "n_buckets"), s"$path/_meta")
+    graft.sources.Tables.writeLayoutMeta(spark, path, "bands" -> bands, "n_buckets" -> nBuckets)
     graft.sources.Tables.recordLayoutLineage(path, "build", sigs, "id")
   }
 
-  private def requireBandParams(spark: SparkSession, path: String, bands: Int, nBuckets: Int): Unit = {
-    // read by NAME and demand exactly one meta row: a column reorder on
-    // rewrite, or a stale multi-row _meta left by a crashed rebuild, must
-    // fail loudly rather than validate arbitrary ordinals
-    val rows = spark.read.parquet(s"$path/_meta").collect()
-    require(rows.length == 1,
-      s"band layout at $path has ${rows.length} _meta rows (expected exactly 1) - " +
-        "refusing to guess which parameters the layout was written with")
-    val m = rows.head
-    val (mb, mn) = (m.getAs[Int]("bands"), m.getAs[Int]("n_buckets"))
-    require(mb == bands && mn == nBuckets,
-      s"band layout at $path was written with bands=$mb, " +
-        s"nBuckets=$mn but queried with bands=$bands, nBuckets=$nBuckets - " +
-        "a mismatch silently drops candidate pairs")
-  }
+  private def requireBandParams(spark: SparkSession, path: String, bands: Int, nBuckets: Int): Unit =
+    graft.sources.Tables.requireLayoutMeta(spark, path,
+      "bands" -> bands, "n_buckets" -> nBuckets)
 
   /** Incremental refresh of the banded-key layout (append the new batch's
     * keys into their bucket partitions; parameters validated against the

@@ -144,6 +144,34 @@ object Tables {
   def readLayoutLineage(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/_lineage")
 
+  /** Persist a layout's integer parameters under `<path>/_meta` (overwrite
+    * — the meta IS the layout's current contract). Every layout whose
+    * physical partitioning or encoding bakes in constants writes this
+    * alongside the build, because a reader probing with DIFFERENT constants
+    * is silently wrong (drops candidate pairs, mis-probes cells, mis-ranks
+    * buckets) — the failure mode must be an error, not a wrong answer.
+    */
+  def writeLayoutMeta(spark: SparkSession, path: String, params: (String, Int)*): Unit =
+    format.write(
+      spark.range(1).select(params.map { case (n, v) => lit(v).as(n) }: _*),
+      s"$path/_meta")
+
+  /** Validate a layout's recorded parameters BY NAME with a single-row
+    * guard (a column reorder on rewrite, or a stale multi-row _meta left by
+    * a crashed rebuild, must fail loudly rather than validate ordinals).
+    */
+  def requireLayoutMeta(spark: SparkSession, path: String, params: (String, Int)*): Unit = {
+    val rows = spark.read.parquet(s"$path/_meta").collect()
+    require(rows.length == 1,
+      s"layout at $path has ${rows.length} _meta rows (expected exactly 1) - " +
+        "refusing to guess which parameters the layout was written with")
+    val stored = params.map { case (n, _) => n -> rows.head.getAs[Int](n) }
+    require(stored == params,
+      s"layout at $path was written with ${stored.map { case (n, v) => s"$n=$v" }.mkString(", ")} " +
+        s"but queried with ${params.map { case (n, v) => s"$n=$v" }.mkString(", ")} - " +
+        "a mismatched reader silently returns wrong results")
+  }
+
   /** Audit a layout's LINEAGE LOG against its source WITHOUT reading the
     * layout's data files: xor fingerprints over DISJOINT batches compose
     * (xor of the batch id_fps == the id_fp of their union), so the lineage

@@ -52,6 +52,25 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("randomized sweep: 500 seeded words over a merge-heavy alphabet, chain == reference") {
+    import spark.implicits._
+    // biased toward the merge alphabet so cascades and repeat chains occur
+    // often; seeded, so a failure reproduces exactly
+    val rnd = new scala.util.Random(42)
+    val alphabet = "tttheeeiinnaaoorrsslgduucmw" + ('a' to 'z').mkString
+    val words = (0 until 500).map { _ =>
+      val len = rnd.nextInt(25)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    val got = words.toDF("w")
+      .select(col("w"), TextAnalysis.bpeWordTokens(col("w")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      val want = TextAnalysis.bpeEncodeReference(w)
+      assert(got(w) == want.length.toLong, s"word '$w': column=${got(w)} reference=$want")
+    }
+  }
+
   test("the merges table is well-ordered and each merge genuinely fires on some input") {
     // every merge must be REACHABLE — a merge that never fires is dead
     // weight in the generated SQL and a silent sign the ordering is wrong

@@ -528,6 +528,33 @@ class OperatorsSpec extends SparkSpec {
     assert(part == gate && part.nonEmpty)
   }
 
+  test("layout parameter guard: probing or appending with mismatched constants fails loudly, never silently mis-probes") {
+    import spark.implicits._
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_meta_guard").toString
+    Ann.ivfWriteLayoutGate(spark, emb, "vec_id", "embedding", s"$tmp/cells", nCells = 16)
+    // a 32-cell probe of a 16-cell layout would rank cells against the
+    // wrong centroid family and silently return wrong neighbors — the meta
+    // guard turns that into an error naming the parameter
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.ivfTopKPartitioned(spark, s"$tmp/cells", "vec_id", "embedding", qv, 20,
+        nCells = 32, nProbe = 4)
+    }
+    assert(e1.getMessage.contains("n_cells"), e1.getMessage)
+    Ann.pqWriteLayout(spark, emb, "vec_id", "embedding", s"$tmp/codes", m = 8, kw = 16)
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.pqTopKStored(spark, s"$tmp/codes", "vec_id", qv, 20, m = 8, kw = 8)
+    }
+    assert(e2.getMessage.contains("kw"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Ann.lshAppendLayout(spark, emb.limit(1), "vec_id", "embedding", s"$tmp/cells", nPlanes = 5)
+    }
+    // appending LSH rows into an IVF layout: the meta has no n_planes
+    // field at all — the by-name read itself refuses
+    assert(e3.getMessage.contains("n_planes"), e3.getMessage)
+  }
+
   test("batched IVF over the partitioned layout == M independent ivfTopKGate calls") {
     import spark.implicits._
     val emb = Tables.read(spark, sfDir, "embeddings")
