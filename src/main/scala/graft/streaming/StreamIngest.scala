@@ -65,6 +65,42 @@ object StreamIngest {
       .toDF()
   }
 
+  /** Streaming KG LANDING — the ingest loop a production KG actually runs,
+    * joining the streaming and incremental-landing stories: the page stream
+    * drains under AvailableNow, and each micro-batch is processed
+    * page-locally (valid for the same reason streamTriples is stateless:
+    * every triple is a function of its own page) and LANDED into its own
+    * `batch` partition of the incremental triple layout via
+    * `KgPipeline.writeTriplesBatch`. The stored table therefore grows
+    * exactly like the daily batch loop q81 gates — merged layout ==
+    * one-shot recompute — and the landing is idempotent per micro-batch: a
+    * crash between the partition write and the offset commit re-executes
+    * the batch into the SAME `batch=<id>` partition (dynamic overwrite)
+    * with a SUPERSEDED lineage row (idempotency key), so the layout holds
+    * exactly-once triples and the coverage audit stays true. StreamingSpec
+    * proves drain == batch run, re-drain changes nothing, audit passes.
+    */
+  def runKgLand(
+      spark: SparkSession,
+      pagesDir: String,
+      layoutPath: String,
+      checkpointDir: String
+  ): Unit = {
+    import graft.model.Page
+    val stream = spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(pagesDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        import spark.implicits._
+        graft.pipeline.KgPipeline.writeTriplesBatch(spark, batch.as[Page], layoutPath, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming corpus curation: the q67 filter chain over a file-source
     * stream of document rows. Every metric is per-row — language ID and
     * token count are stateless Column expressions, repetition and the

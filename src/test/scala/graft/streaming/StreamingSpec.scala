@@ -70,6 +70,30 @@ class StreamingSpec extends SparkSpec {
     assert(key(spark.read.parquet(s"$tmp/out")) == served)
   }
 
+  test("streaming KG landing: drained layout equals the batch pipeline; re-drain changes nothing; lineage audits") {
+    import graft.sources.Tables
+    val tmp = Files.createTempDirectory("graft-kgland").toString
+    val pages = Tables.pages(spark, sfDir).toDF()
+    pages.write.mode("overwrite").parquet(s"$tmp/pages")
+
+    StreamIngest.runKgLand(spark, s"$tmp/pages", s"$tmp/layout", s"$tmp/ckpt")
+    def tripleSet = spark.read.parquet(s"$tmp/layout")
+      .select("subj", "pred", "obj", "url", "ts").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getTimestamp(4))).toSet
+    val landed = tripleSet
+    val batch = graft.pipeline.KgPipeline.run(spark, sfDir, numPartitions = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getTimestamp(4))).toSet
+    assert(landed == batch && batch.nonEmpty, s"landed=${landed.size} batch=${batch.size}")
+    // the lineage log covers the page set exactly once across micro-batches
+    assert(Tables.auditLayoutLineage(spark, s"$tmp/layout", pages, "url"))
+    // exactly-once landing: a re-drain from the same checkpoint changes nothing
+    StreamIngest.runKgLand(spark, s"$tmp/pages", s"$tmp/layout", s"$tmp/ckpt")
+    assert(tripleSet == landed)
+    assert(Tables.auditLayoutLineage(spark, s"$tmp/layout", pages, "url"))
+  }
+
   test("streaming CONTENT dedup: kept fingerprints equal batch exact-dedup survivors; replay drains nothing") {
     val tmp = Files.createTempDirectory("graft-contentdedup").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
