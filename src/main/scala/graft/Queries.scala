@@ -2441,17 +2441,25 @@ object Queries {
     * parquet: the update writes a NEW state, never overwrites the one it
     * reads.
     */
-  private def kgNodesLayout(s: SparkSession, dir: String): String = {
-    val p = layoutPath("kgnodes_parity", dir, srcTable = "documents")
+  /** The two-snapshot maintenance build shared by q82 and q87: write day
+    * 1's aggregate as snapshot state_1, then state_2 = update(stored
+    * state_1) — the update READS snapshot N and WRITES snapshot N+1, never
+    * overwriting what it reads (the Iceberg-snapshot shape on local
+    * parquet). Both arguments are lazy: nothing is computed when the layout
+    * is already built.
+    */
+  private def twoStateLayout(s: SparkSession, p: String)(state1: => DataFrame)(
+      update: DataFrame => DataFrame): String =
     ensureLayout(p) {
-      val tri = s.read.parquet(kgTriplesLayout(s, dir))
-      Tables.format.write(
-        KgPipeline.nodeTable(tri.filter(col("batch") === 0)), s"$p/state_1")
-      Tables.format.write(
-        KgPipeline.mergeNodeTables(
-          s.read.parquet(s"$p/state_1"),
-          KgPipeline.nodeTable(tri.filter(col("batch") === 1))), s"$p/state_2")
+      Tables.format.write(state1, s"$p/state_1")
+      Tables.format.write(update(s.read.parquet(s"$p/state_1")), s"$p/state_2")
     }
+
+  private def kgNodesLayout(s: SparkSession, dir: String): String = {
+    def tri = s.read.parquet(kgTriplesLayout(s, dir))
+    twoStateLayout(s, layoutPath("kgnodes_parity", dir, srcTable = "documents"))(
+      KgPipeline.nodeTable(tri.filter(col("batch") === 0)))(st1 =>
+      KgPipeline.mergeNodeTables(st1, KgPipeline.nodeTable(tri.filter(col("batch") === 1))))
   }
 
   /** Incremental node-degree maintenance gated on q55's SQL verbatim: the
@@ -2585,16 +2593,10 @@ object Queries {
     * cannot be merged.
     */
   def q87ReportIncr(s: SparkSession, dir: String): DataFrame = {
-    val p = layoutPath("report_parity", dir, srcTable = "documents")
-    ensureLayout(p) {
-      val docs = t(s, dir, "documents")
-      Tables.format.write(
-        reportAggregate(reportScored(docs.filter(col("doc_id") % 2 === 0))), s"$p/state_1")
-      Tables.format.write(
-        mergeReports(
-          s.read.parquet(s"$p/state_1"),
-          reportAggregate(reportScored(docs.filter(col("doc_id") % 2 =!= 0)))), s"$p/state_2")
-    }
+    def docs = t(s, dir, "documents")
+    val p = twoStateLayout(s, layoutPath("report_parity", dir, srcTable = "documents"))(
+      reportAggregate(reportScored(docs.filter(col("doc_id") % 2 === 0))))(st1 =>
+      mergeReports(st1, reportAggregate(reportScored(docs.filter(col("doc_id") % 2 =!= 0)))))
     reportDerive(s.read.parquet(s"$p/state_2"))
   }
 

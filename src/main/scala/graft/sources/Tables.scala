@@ -159,8 +159,21 @@ object Tables {
   /** Validate a layout's recorded parameters BY NAME with a single-row
     * guard (a column reorder on rewrite, or a stale multi-row _meta left by
     * a crashed rebuild, must fail loudly rather than validate ordinals).
+    *
+    * Successful validations are memoized per (path, params) for the JVM's
+    * lifetime, so repeated probes of the same layout don't re-read _meta on
+    * every query (a driver-side file read inside the query's latency).
+    * Sound because built layouts are immutable at their path (the engine's
+    * convention — layout paths are content-stamped and rebuilt under a new
+    * tag when anything changes), and a MISMATCHED query never enters the
+    * memo: wrong parameters always re-check and throw.
     */
+  private val validatedMeta =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def requireLayoutMeta(spark: SparkSession, path: String, params: (String, Int)*): Unit = {
+    val memoKey = path + "|" + params.map { case (n, v) => s"$n=$v" }.mkString(",")
+    if (validatedMeta.contains(memoKey)) return
     val rows = spark.read.parquet(s"$path/_meta").collect()
     require(rows.length == 1,
       s"layout at $path has ${rows.length} _meta rows (expected exactly 1) - " +
@@ -170,6 +183,7 @@ object Tables {
       s"layout at $path was written with ${stored.map { case (n, v) => s"$n=$v" }.mkString(", ")} " +
         s"but queried with ${params.map { case (n, v) => s"$n=$v" }.mkString(", ")} - " +
         "a mismatched reader silently returns wrong results")
+    validatedMeta.add(memoKey)
   }
 
   /** Audit a layout's LINEAGE LOG against its source WITHOUT reading the
