@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.model.Dict
@@ -2602,6 +2602,51 @@ object Queries {
 
   def q87Sql: String = q79Sql
 
+  /** Incremental DECONTAMINATION (q88): flags are per-doc given the fixed
+    * eval set, so the maintained state is simply APPEND-ONLY — day 2 screens
+    * its new train batch against the (unchanged) eval set and unions the
+    * flags into a new snapshot. Gated on q65's SQL verbatim: the maintained
+    * flag table is byte-equal to screening the whole corpus at once. The
+    * third merge algebra of the maintenance family: sum (q82/q87),
+    * min+sum semigroup (q89), and plain union for per-row state.
+    */
+  def q88DecontamIncr(s: SparkSession, dir: String): DataFrame = {
+    def docs = canariedDocs(s, dir)
+    val isEval = col("doc_id") % 100 === 0
+    def day(parity: Int) = Dedup.decontaminate(
+      docs.filter(isEval || col("doc_id") % 2 === parity), "doc_id", "text", isEval, n = 8)
+    val p = twoStateLayout(s, layoutPath("decontam_parity", dir, srcTable = "documents"))(
+      day(0))(st1 => st1.unionByName(day(1)))
+    s.read.parquet(s"$p/state_2")
+  }
+
+  def q88Sql: String = q65Sql
+
+  /** Incremental EXACT-dedup state (q89): the stored state is the
+    * (fp → survivor_id, n_copies) aggregate itself, and a corpus append
+    * merges its batch aggregate in with the (min, sum) SEMIGROUP — survivor
+    * = least of the two candidates, copies = sum — via the ONE shared merge
+    * body (KgPipeline.semigroupMerge). Gated on q25's SQL verbatim: the
+    * maintained table equals the one-shot groupBy over the whole corpus.
+    * This is why `exact` keeps min-id survivors rather than first-seen:
+    * min is a semigroup, so the survivor choice is maintainable
+    * incrementally AND independent of arrival order.
+    */
+  def q89DedupIncrState(s: SparkSession, dir: String): DataFrame = {
+    def docs = t(s, dir, "documents")
+    val p = twoStateLayout(s, layoutPath("exactdedup_parity", dir, srcTable = "documents"))(
+      Dedup.exact(docs.filter(col("doc_id") % 2 === 0), "text", "doc_id"))(st1 =>
+      KgPipeline.semigroupMerge(st1,
+        Dedup.exact(docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id"),
+        "fp",
+        Seq(
+          "survivor_id" -> ((x: Column, y: Column) => least(x, y)),
+          "n_copies" -> ((x: Column, y: Column) => x + y))))
+    s.read.parquet(s"$p/state_2")
+  }
+
+  def q89Sql: String = q25Sql
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2690,7 +2735,9 @@ object Queries {
     "q84_bpe_tokens" -> ((q84BpeTokens _, q84Sql)),
     "q85_edges_layout" -> ((q85EdgesLayout _, q85Sql)),
     "q86_kg_resume" -> ((q86KgResume _, q86Sql)),
-    "q87_report_incr" -> ((q87ReportIncr _, q87Sql))
+    "q87_report_incr" -> ((q87ReportIncr _, q87Sql)),
+    "q88_decontam_incr" -> ((q88DecontamIncr _, q88Sql)),
+    "q89_dedup_incr_state" -> ((q89DedupIncrState _, q89Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.model.{Dict, Page}
@@ -280,20 +280,33 @@ object KgPipeline {
   def mergeNodeTables(a: DataFrame, b: DataFrame): DataFrame =
     sumMerge(a, b, "node", Seq("out_degree", "in_degree", "n_urls"))
 
-  /** THE sum-merge algebra every incrementally-maintained aggregate shares
-    * (node table q82, corpus report q87): full-outer join two stored states
-    * on the key, null→0, column-wise add. Valid whenever the states were
-    * aggregated over disjoint input batches and every stored column is a
-    * plain sum — which is why maintained state must store SUMS and derive
-    * ratios at read time.
+  /** THE merge algebra every incrementally-maintained aggregate shares:
+    * full-outer join two stored states on the key; for each column, a key
+    * present on one side only keeps that side's value, and a key on both
+    * sides combines with the column's SEMIGROUP op (sum for counts, least
+    * for min-survivors, greatest for max-watermarks). Valid whenever the
+    * states were aggregated over disjoint input batches and every stored
+    * column's aggregate is associative+commutative — which is why
+    * maintained state must store mergeable aggregates (sums, mins, maxes)
+    * and derive ratios at read time.
     */
-  def sumMerge(a: DataFrame, b: DataFrame, key: String, sumCols: Seq[String]): DataFrame = {
-    val l = a.select(col(key) +: sumCols.map(c => col(c).as(c + "_a")): _*)
-    val r = b.select(col(key) +: sumCols.map(c => col(c).as(c + "_b")): _*)
+  def semigroupMerge(a: DataFrame, b: DataFrame, key: String,
+      ops: Seq[(String, (Column, Column) => Column)]): DataFrame = {
+    val l = a.select(col(key) +: ops.map { case (c, _) => col(c).as(c + "_a") }: _*)
+    val r = b.select(col(key) +: ops.map { case (c, _) => col(c).as(c + "_b") }: _*)
     l.join(r, Seq(key), "full_outer")
-      .select(col(key) +: sumCols.map(c =>
-        (coalesce(col(c + "_a"), lit(0L)) + coalesce(col(c + "_b"), lit(0L))).as(c)): _*)
+      .select(col(key) +: ops.map { case (c, op) =>
+        when(col(c + "_a").isNull, col(c + "_b"))
+          .when(col(c + "_b").isNull, col(c + "_a"))
+          .otherwise(op(col(c + "_a"), col(c + "_b"))).as(c)
+      }: _*)
   }
+
+  /** semigroupMerge with every column summed — the common case (node table
+    * q82, corpus report q87).
+    */
+  def sumMerge(a: DataFrame, b: DataFrame, key: String, sumCols: Seq[String]): DataFrame =
+    semigroupMerge(a, b, key, sumCols.map(c => c -> ((x: Column, y: Column) => x + y)))
 
   /** S7/C11 — golden file serialization (write_to_file,
     * /root/reference/src/wikidata_update/get_updates.py:1077-1085;
