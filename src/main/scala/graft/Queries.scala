@@ -985,7 +985,10 @@ object Queries {
     * output is exactly the planted (i, i+1e6) pairs and the banded-LSH
     * recall of Ann.nearDupPairs is oracle-checkable in plain SQL.
     */
-  def q38EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** (corpus, planted near-dup copies) — shared by q38, q90, and the
+    * incremental-union spec.
+    */
+  private[graft] def plantedEmb(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -999,6 +1002,11 @@ object Queries {
       }
       (id + 1000000L, w)
     }.toDF("vec_id", "embedding")
+    (emb, planted)
+  }
+
+  def q38EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val (emb, planted) = plantedEmb(s, dir)
     Ann.nearDupPairs(s, emb.unionByName(planted), "vec_id", "embedding", minCosine = 0.95)
       .select(col("id1"), col("id2"))
   }
@@ -2647,6 +2655,22 @@ object Queries {
 
   def q89Sql: String = q25Sql
 
+  /** Incremental EMBEDDING near-dup (q90): the planted copies ARE the
+    * append — `Ann.nearDupPairsIncremental` bands only the new batch
+    * against the full corpus's keys and must recover every planted pair,
+    * which is exactly q38's oracle (every near-dup pair in this corpus
+    * touches a planted vector). Closes the incremental loop for the
+    * embedding family the way q77 closed it for minhash.
+    */
+  def q90EmbedNearDupIncr(s: SparkSession, dir: String): DataFrame = {
+    val (emb, planted) = plantedEmb(s, dir)
+    Ann.nearDupPairsIncremental(
+      s, emb.unionByName(planted), planted, "vec_id", "embedding", minCosine = 0.95)
+      .select(col("id1"), col("id2"))
+  }
+
+  def q90Sql: String = q38Sql
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2737,7 +2761,8 @@ object Queries {
     "q86_kg_resume" -> ((q86KgResume _, q86Sql)),
     "q87_report_incr" -> ((q87ReportIncr _, q87Sql)),
     "q88_decontam_incr" -> ((q88DecontamIncr _, q88Sql)),
-    "q89_dedup_incr_state" -> ((q89DedupIncrState _, q89Sql))
+    "q89_dedup_incr_state" -> ((q89DedupIncrState _, q89Sql)),
+    "q90_embed_neardup_incr" -> ((q90EmbedNearDupIncr _, q90Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -125,20 +125,48 @@ object Ann {
     if (firstVec.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)].toDF("id1", "id2", "cosine")
     val planes = spark.sparkContext.broadcast(hyperplanes(firstVec.head.length, bands * bandBits))
-    val mask = (1L << bandBits) - 1
-    val banded = ids
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        val bits = signBits(v, planes.value)
-        (0 until bands).map(b => (id, b, (bits >>> (b * bandBits)) & mask))
-      }
-      .toDF("id", "band", "bkey")
+    val banded = hyperBandKeys(spark, ids, planes, bands, bandBits)
     val l = banded.select(col("band"), col("bkey"), col("id").as("id1"))
     val r = banded.select(col("band"), col("bkey"), col("id").as("id2"))
     val pairs = l.join(r, Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
+    cosineVerified(spark, ids, pairs, minCosine)
+  }
+
+  /** Banded (id, band, bkey) rows over the hyperplane signature — shared by
+    * the full and incremental near-dup paths (the Dedup.banded twin for the
+    * embedding family).
+    */
+  private def hyperBandKeys(
+      spark: SparkSession,
+      ids: DataFrame,
+      planes: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      bands: Int,
+      bandBits: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val mask = (1L << bandBits) - 1
+    ids
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val bits = signBits(v, planes.value)
+        (0 until bands).map(b => (id, b, (bits >>> (b * bandBits)) & mask))
+      }
+      .toDF("id", "band", "bkey")
+  }
+
+  /** The exact-cosine verification tail shared by both near-dup paths:
+    * vectors join back ONLY for surviving candidate pairs.
+    */
+  private def cosineVerified(
+      spark: SparkSession,
+      ids: DataFrame,
+      pairs: DataFrame,
+      minCosine: Double
+  ): DataFrame = {
+    import spark.implicits._
     val v1 = ids.select(col("id").as("id1"), col("v").as("v1"))
     val v2 = ids.select(col("id").as("id2"), col("v").as("v2"))
     pairs
@@ -149,6 +177,46 @@ object Ann {
       .map { case (a, b, x, y) => (a, b, Sketches.cosine(x, y)) }
       .toDF("id1", "id2", "cosine")
       .filter(col("cosine") >= minCosine)
+  }
+
+  /** Incremental embedding near-dup after a corpus append — the
+    * `minHashCandidatesIncremental` contract for the embedding family: band
+    * ONLY the new batch against the full corpus's band keys and emit
+    * (cosine-verified) pairs touching at least one new vector; old-old
+    * pairs were produced by earlier runs. union(previous pairs, this) ==
+    * nearDupPairs over the full corpus. Expensive per-vector work (the
+    * signature) is computed once per new vector; the pair/verify volume is
+    * bounded by the append's collision surface.
+    */
+  def nearDupPairsIncremental(
+      spark: SparkSession,
+      allEmbeddings: DataFrame,
+      newEmbeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.95,
+      bands: Int = 6,
+      bandBits: Int = 4
+  ): DataFrame = {
+    import spark.implicits._
+    require(bands * bandBits <= 64, "signature must fit in a Long")
+    val all = allEmbeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val nw = newEmbeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val firstVec = all.select(col("v")).as[Array[Float]].take(1)
+    if (firstVec.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("id1", "id2", "cosine")
+    val planes = spark.sparkContext.broadcast(hyperplanes(firstVec.head.length, bands * bandBits))
+    val bNew = hyperBandKeys(spark, nw, planes, bands, bandBits)
+      .select(col("band"), col("bkey"), col("id").as("idn"))
+    val bAll = hyperBandKeys(spark, all, planes, bands, bandBits)
+      .select(col("band"), col("bkey"), col("id").as("ida"))
+    val pairs = bNew.join(bAll, Seq("band", "bkey"))
+      .filter(col("idn") =!= col("ida"))
+      .select(
+        least(col("idn"), col("ida")).as("id1"),
+        greatest(col("idn"), col("ida")).as("id2"))
+      .dropDuplicates("id1", "id2")
+    cosineVerified(spark, all, pairs, minCosine)
   }
 
   // ------------------------------------------------- oracle-gated variants

@@ -528,6 +528,22 @@ class OperatorsSpec extends SparkSpec {
     assert(part == gate && part.nonEmpty)
   }
 
+  test("embedding near-dup incremental: union(old pairs, new-batch increment) == full corpus pairs") {
+    val (emb, planted) = graft.Queries.plantedEmb(spark, sfDir)
+    // planted ids are original+1e6 (even offset), so parity splits the
+    // planted batch while keeping each planted copy near its original
+    val newBatch = planted.filter(col("vec_id") % 2 === 0)
+    val oldCorpus = emb.unionByName(planted.filter(col("vec_id") % 2 =!= 0))
+    val all = emb.unionByName(planted)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldPairs = pairSet(Ann.nearDupPairs(spark, oldCorpus, "vec_id", "embedding"))
+    val incr = pairSet(Ann.nearDupPairsIncremental(spark, all, newBatch, "vec_id", "embedding"))
+    val full = pairSet(Ann.nearDupPairs(spark, all, "vec_id", "embedding"))
+    assert(oldPairs.nonEmpty && incr.nonEmpty, s"old=${oldPairs.size} incr=${incr.size}")
+    assert((oldPairs ++ incr) == full, s"union=${(oldPairs ++ incr).size} full=${full.size}")
+  }
+
   test("layout parameter guard: probing or appending with mismatched constants fails loudly, never silently mis-probes") {
     import spark.implicits._
     val emb = Tables.read(spark, sfDir, "embeddings")
