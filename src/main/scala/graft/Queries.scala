@@ -839,19 +839,22 @@ object Queries {
     * 4×12-bit banding, and the exact Hamming verify are all reproducible in
     * DuckDB — closing the last rows-only query. Same plan shape as q27.
     */
-  def q27SimHashGate(s: SparkSession, dir: String): DataFrame = {
+  /** The md5-family 48-bit sketch table — shared by q27 and q91. */
+  private def simHash48Table(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // single-file scan + ~ms/doc of md5 CPU: re-balance so parallelism
     // follows cores, not the one input split (the q26/q44 pattern)
-    val hashes = t(s, dir, "documents")
+    t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, Sketches.simHash48(text)) }
       .toDF("id", "simhash")
-    Dedup.simHashPairs(s, hashes, maxHamming = 3, chunks = 4, chunkBits = 12)
-      .select(col("id1"), col("id2"), col("hamming").cast("bigint").as("hamming"))
   }
+
+  def q27SimHashGate(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(s, simHash48Table(s, dir), maxHamming = 3, chunks = 4, chunkBits = 12)
+      .select(col("id1"), col("id2"), col("hamming").cast("bigint").as("hamming"))
 
   val q27GateSql: String =
     """WITH words AS (
@@ -2671,6 +2674,24 @@ object Queries {
 
   def q90Sql: String = q38Sql
 
+  /** Incremental SIMHASH near-dup (q91) — the last near-dup family's
+    * incremental path, gated like q77: the odd-id batch's chunk bands
+    * joined against the full sketch table must produce exactly the full
+    * corpus's Hamming-verified pairs touching the new batch (q27's gate
+    * SQL restricted to odd-endpoint pairs).
+    */
+  def q91SimHashIncr(s: SparkSession, dir: String): DataFrame = {
+    val hashes = simHash48Table(s, dir)
+    Dedup.simHashPairsIncremental(
+      s, hashes, hashes.filter(col("id") % 2 =!= 0), maxHamming = 3, chunks = 4, chunkBits = 12)
+      .select(col("id1"), col("id2"), col("hamming").cast("bigint").as("hamming"))
+  }
+
+  def q91Sql: String =
+    s"""SELECT id1, id2, hamming FROM (
+       |${q27GateSql}
+       |) WHERE id1 % 2 = 1 OR id2 % 2 = 1""".stripMargin
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2762,7 +2783,8 @@ object Queries {
     "q87_report_incr" -> ((q87ReportIncr _, q87Sql)),
     "q88_decontam_incr" -> ((q88DecontamIncr _, q88Sql)),
     "q89_dedup_incr_state" -> ((q89DedupIncrState _, q89Sql)),
-    "q90_embed_neardup_incr" -> ((q90EmbedNearDupIncr _, q90Sql))
+    "q90_embed_neardup_incr" -> ((q90EmbedNearDupIncr _, q90Sql)),
+    "q91_simhash_incr" -> ((q91SimHashIncr _, q91Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -329,24 +329,68 @@ object Dedup {
       chunks: Int = 4,
       chunkBits: Int = 16
   ): DataFrame = {
+    val banded = simBanded(spark, hashes, chunks, chunkBits)
+    val l = banded.select(col("band"), col("chunk"), col("id").as("id1"), col("h").as("h1"))
+    val r = banded.select(col("band"), col("chunk"), col("id").as("id2"), col("h").as("h2"))
+    val pairs = l.join(r, Seq("band", "chunk"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("h1"), col("h2"))
+      .dropDuplicates("id1", "id2")
+    hammingVerified(spark, pairs, maxHamming)
+  }
+
+  /** Chunk-banded (band, chunk, id, h) rows — shared by the full and
+    * incremental SimHash paths.
+    */
+  private def simBanded(
+      spark: SparkSession, hashes: DataFrame, chunks: Int, chunkBits: Int): DataFrame = {
     import spark.implicits._
     val mask = (1L << chunkBits) - 1
-    val banded = hashes
+    hashes
       .as[(Long, Long)]
       .flatMap { case (id, h) =>
         (0 until chunks).map(b => (b, (h >>> (b * chunkBits)) & mask, id, h))
       }
       .toDF("band", "chunk", "id", "h")
-    val l = banded.select(col("band"), col("chunk"), col("id").as("id1"), col("h").as("h1"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("id2"), col("h").as("h2"))
-    l.join(r, Seq("band", "chunk"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("h1"), col("h2"))
-      .dropDuplicates("id1", "id2")
+  }
+
+  /** Exact-Hamming verification tail over (id1, id2, h1, h2) pair rows. */
+  private def hammingVerified(spark: SparkSession, pairs: DataFrame, maxHamming: Int): DataFrame = {
+    import spark.implicits._
+    pairs
       .as[(Long, Long, Long, Long)]
       .map { case (a, b, h1, h2) => (a, b, Sketches.hamming(h1, h2)) }
       .toDF("id1", "id2", "hamming")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental SimHash near-dup after a corpus append — the
+    * `minHashCandidatesIncremental` contract for the SimHash family:
+    * chunk-band ONLY the new batch's sketches against the full table and
+    * emit Hamming-verified pairs touching at least one new doc.
+    * union(previous pairs, this) == simHashPairs over the full corpus.
+    */
+  def simHashPairsIncremental(
+      spark: SparkSession,
+      allHashes: DataFrame,
+      newHashes: DataFrame,
+      maxHamming: Int = 3,
+      chunks: Int = 4,
+      chunkBits: Int = 16
+  ): DataFrame = {
+    val bNew = simBanded(spark, newHashes, chunks, chunkBits)
+      .select(col("band"), col("chunk"), col("id").as("idn"), col("h").as("hn"))
+    val bAll = simBanded(spark, allHashes, chunks, chunkBits)
+      .select(col("band"), col("chunk"), col("id").as("ida"), col("h").as("ha"))
+    val pairs = bNew.join(bAll, Seq("band", "chunk"))
+      .filter(col("idn") =!= col("ida"))
+      .select(
+        least(col("idn"), col("ida")).as("id1"),
+        greatest(col("idn"), col("ida")).as("id2"),
+        when(col("idn") < col("ida"), col("hn")).otherwise(col("ha")).as("h1"),
+        when(col("idn") < col("ida"), col("ha")).otherwise(col("hn")).as("h2"))
+      .dropDuplicates("id1", "id2")
+    hammingVerified(spark, pairs, maxHamming)
   }
 
   /** Corpus-level boilerplate removal (the CCNet-style paragraph dedup a

@@ -544,6 +544,24 @@ class OperatorsSpec extends SparkSpec {
     assert((oldPairs ++ incr) == full, s"union=${(oldPairs ++ incr).size} full=${full.size}")
   }
 
+  test("simhash incremental: union(old pairs, new-batch increment) == full corpus pairs") {
+    import spark.implicits._
+    val hashes = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, graft.functions.Sketches.simHash48(text)) }
+      .toDF("id", "simhash")
+    val newH = hashes.filter(col("id") % 2 =!= 0)
+    val oldH = hashes.filter(col("id") % 2 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldPairs = pairSet(Dedup.simHashPairs(spark, oldH, 3, 4, 12))
+    val incr = pairSet(Dedup.simHashPairsIncremental(spark, hashes, newH, 3, 4, 12))
+    val full = pairSet(Dedup.simHashPairs(spark, hashes, 3, 4, 12))
+    assert(incr.nonEmpty && full.nonEmpty, s"incr=${incr.size} full=${full.size}")
+    assert((oldPairs ++ incr) == full, s"union=${(oldPairs ++ incr).size} full=${full.size}")
+  }
+
   test("layout parameter guard: probing or appending with mismatched constants fails loudly, never silently mis-probes") {
     import spark.implicits._
     val emb = Tables.read(spark, sfDir, "embeddings")
