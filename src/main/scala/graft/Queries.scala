@@ -839,12 +839,19 @@ object Queries {
     * 4×12-bit banding, and the exact Hamming verify are all reproducible in
     * DuckDB — closing the last rows-only query. Same plan shape as q27.
     */
-  /** The md5-family 48-bit sketch table — shared by q27 and q91. */
-  private def simHash48Table(s: SparkSession, dir: String): DataFrame = {
+  /** The md5-family 48-bit sketch table — shared by q27 and q91. `pred`
+    * filters the DOCUMENTS before the sketch map: a filter placed after
+    * the typed map cannot push through it, so a batch-restricted sketch
+    * table would otherwise sketch the whole corpus and discard the rest
+    * (the md5 vote is the dominant CPU here).
+    */
+  private def simHash48Table(s: SparkSession, dir: String,
+      pred: Column = lit(true)): DataFrame = {
     import s.implicits._
     // single-file scan + ~ms/doc of md5 CPU: re-balance so parallelism
     // follows cores, not the one input split (the q26/q44 pattern)
     t(s, dir, "documents")
+      .filter(pred)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -2681,9 +2688,12 @@ object Queries {
     * SQL restricted to odd-endpoint pairs).
     */
   def q91SimHashIncr(s: SparkSession, dir: String): DataFrame = {
-    val hashes = simHash48Table(s, dir)
+    // the new side sketches ONLY its batch (predicate pushed below the md5
+    // map) — filtering the all-side plan instead would re-sketch the whole
+    // corpus and discard the even half
     Dedup.simHashPairsIncremental(
-      s, hashes, hashes.filter(col("id") % 2 =!= 0), maxHamming = 3, chunks = 4, chunkBits = 12)
+      s, simHash48Table(s, dir), simHash48Table(s, dir, col("doc_id") % 2 =!= 0),
+      maxHamming = 3, chunks = 4, chunkBits = 12)
       .select(col("id1"), col("id2"), col("hamming").cast("bigint").as("hamming"))
   }
 

@@ -184,9 +184,17 @@ object Ann {
     * ONLY the new batch against the full corpus's band keys and emit
     * (cosine-verified) pairs touching at least one new vector; old-old
     * pairs were produced by earlier runs. union(previous pairs, this) ==
-    * nearDupPairs over the full corpus. Expensive per-vector work (the
-    * signature) is computed once per new vector; the pair/verify volume is
-    * bounded by the append's collision surface.
+    * nearDupPairs over the full corpus.
+    *
+    * Cost honesty (the minhash path's caveat applies here too): what this
+    * makes append-bounded is the PAIR/VERIFY volume (bounded by the
+    * append's collision surface, never all-pairs). The corpus side still
+    * recomputes signBits signatures from the raw vectors each run — a
+    * corpus-linear narrow pass. When that matters, materialize the band
+    * keys once and append per batch (the `Dedup.writeBandLayout` pattern —
+    * same (id, band, bkey) shape, so the bucket-partitioned layout and its
+    * file pruning carry over unchanged); the spec's equality contract is
+    * the same either way.
     */
   def nearDupPairsIncremental(
       spark: SparkSession,

@@ -151,10 +151,16 @@ object Tables {
     * is silently wrong (drops candidate pairs, mis-probes cells, mis-ranks
     * buckets) — the failure mode must be an error, not a wrong answer.
     */
-  def writeLayoutMeta(spark: SparkSession, path: String, params: (String, Int)*): Unit =
+  def writeLayoutMeta(spark: SparkSession, path: String, params: (String, Int)*): Unit = {
     format.write(
       spark.range(1).select(params.map { case (n, v) => lit(v).as(n) }: _*),
       s"$path/_meta")
+    // a rewrite-in-place changes the layout's contract: drop every memoized
+    // validation for this path so a probe that matched the OLD parameters
+    // re-reads _meta and fails — otherwise the memo would silently disable
+    // the guard for exactly the rebuild case it exists to catch
+    validatedMeta.removeIf(_.startsWith(path + "|"))
+  }
 
   /** Validate a layout's recorded parameters BY NAME with a single-row
     * guard (a column reorder on rewrite, or a stale multi-row _meta left by
@@ -163,10 +169,11 @@ object Tables {
     * Successful validations are memoized per (path, params) for the JVM's
     * lifetime, so repeated probes of the same layout don't re-read _meta on
     * every query (a driver-side file read inside the query's latency).
-    * Sound because built layouts are immutable at their path (the engine's
-    * convention — layout paths are content-stamped and rebuilt under a new
-    * tag when anything changes), and a MISMATCHED query never enters the
-    * memo: wrong parameters always re-check and throw.
+    * Sound because (a) a MISMATCHED query never enters the memo — wrong
+    * parameters always re-check and throw; (b) a same-JVM rebuild-in-place
+    * goes through `writeLayoutMeta`, which drops the path's memo entries;
+    * and (c) cross-JVM rebuilds are excluded by the engine's convention
+    * that layout paths are content-stamped and rebuilt under a NEW tag.
     */
   private val validatedMeta =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

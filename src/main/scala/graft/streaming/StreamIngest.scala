@@ -79,6 +79,16 @@ object StreamIngest {
     * with a SUPERSEDED lineage row (idempotency key), so the layout holds
     * exactly-once triples and the coverage audit stays true. StreamingSpec
     * proves drain == batch run, re-drain changes nothing, audit passes.
+    *
+    * PRECONDITION — url-disjoint micro-batches: `dedupTriples` dedups
+    * WITHIN a batch, so "merged == one-shot" requires each url's pages to
+    * arrive in one micro-batch and never be re-delivered (true for daily
+    * file drops partitioned by crawl, and for the q81 batch loop by
+    * construction). A re-crawled url across batches lands one row per
+    * batch (each with its batch-local min ts) where the one-shot run keeps
+    * the global min — dedupe such streams upstream (the
+    * `dropDuplicatesWithinWatermark` pattern of streamDedupDocs, keyed on
+    * url) or compact the layout periodically with a batch re-dedup.
     */
   def runKgLand(
       spark: SparkSession,

@@ -587,6 +587,23 @@ class OperatorsSpec extends SparkSpec {
     // appending LSH rows into an IVF layout: the meta has no n_planes
     // field at all — the by-name read itself refuses
     assert(e3.getMessage.contains("n_planes"), e3.getMessage)
+
+    // rebuild-in-place flips the layout's contract: writeLayoutMeta must
+    // DROP the memoized validation of the old parameters, so a probe that
+    // matched before the rebuild fails after it (instead of the memo
+    // silently disabling the guard for exactly the rebuild case)
+    Ann.ivfWriteLayoutGate(spark, emb, "vec_id", "embedding", s"$tmp/rebuilt", nCells = 16)
+    Ann.ivfTopKPartitioned(spark, s"$tmp/rebuilt", "vec_id", "embedding", qv, 20,
+      nCells = 16, nProbe = 4).collect() // validates + memoizes n_cells=16
+    Ann.ivfWriteLayoutGate(spark, emb, "vec_id", "embedding", s"$tmp/rebuilt", nCells = 8)
+    val e4 = intercept[IllegalArgumentException] {
+      Ann.ivfTopKPartitioned(spark, s"$tmp/rebuilt", "vec_id", "embedding", qv, 20,
+        nCells = 16, nProbe = 4)
+    }
+    assert(e4.getMessage.contains("n_cells"), e4.getMessage)
+    // ...and the rebuilt contract itself validates
+    assert(Ann.ivfTopKPartitioned(spark, s"$tmp/rebuilt", "vec_id", "embedding", qv, 20,
+      nCells = 8, nProbe = 4).collect().nonEmpty)
   }
 
   test("batched IVF over the partitioned layout == M independent ivfTopKGate calls") {
