@@ -52,6 +52,27 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("unicode adversaries: Spark lower+strip agrees with the reference path (casing expansions, combining marks, CJK)") {
+    import spark.implicits._
+    // words whose lowercasing is non-trivial: U+0130 expands to i +
+    // combining dot (the combining mark must be stripped by [^a-z], keeping
+    // the i), ß stays ß (stripped), CJK strips entirely, emoji strips —
+    // the column path and the JVM reference must agree on the SURVIVING
+    // a-z content and hence the token count
+    val words = Seq("İstanbul", "Straße", "ISTANBUL", "Σίσυφος", "你好世界",
+      "naïve", "héllo", "🙂emoji", "ABCdef", "ǅungla")
+    val got = words.toDF("raw")
+      .select(col("raw"),
+        TextAnalysis.bpeWordTokens(regexp_replace(lower(col("raw")), "[^a-z]", "")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      val az = w.toLowerCase.replaceAll("[^a-z]", "")
+      val want = TextAnalysis.bpeEncodeReference(az)
+      assert(got(w) == want.length.toLong,
+        s"word '$w' (az='$az'): column=${got(w)} reference=$want")
+    }
+  }
+
   test("randomized sweep: 500 seeded words over a merge-heavy alphabet, chain == reference") {
     import spark.implicits._
     // biased toward the merge alphabet so cascades and repeat chains occur

@@ -250,6 +250,33 @@ class PipelineSpec extends SparkSpec {
       "a re-landed batch double-appended its lineage row")
   }
 
+  test("semigroupMerge property: for seeded random batches and arbitrary splits, merge of batch aggregates == direct aggregate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // rows over a small key domain so every regime occurs: keys on one
+    // side only, both sides, repeated within a side
+    val rows = (0 until 400).map(_ => (s"k${rnd.nextInt(12)}", rnd.nextInt(1000).toLong))
+    def agg(xs: Seq[(String, Long)]) = xs.toDF("k", "v")
+      .groupBy("k").agg(
+        org.apache.spark.sql.functions.sum("v").as("s"),
+        org.apache.spark.sql.functions.min("v").as("mn"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ops = Seq(
+      "s" -> ((x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) => x + y),
+      "mn" -> ((x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.functions.least(x, y)),
+      "n" -> ((x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) => x + y))
+    // three different (uneven, non-parity) split points
+    Seq(1, 137, 399).foreach { cut =>
+      val (a, b) = rows.splitAt(cut)
+      val merged = toMap(KgPipeline.semigroupMerge(agg(a), agg(b), "k", ops))
+      val direct = toMap(agg(rows))
+      assert(merged == direct, s"cut=$cut merged=${merged.size} direct=${direct.size}")
+    }
+  }
+
   test("mergeNodeTables: degree-sum merge of batch-disjoint aggregates equals the full recompute") {
     val tri = KgPipeline.run(spark, sfDir, numPartitions = 4).cache()
     val a = tri.filter(col("url").endsWith("0") || col("url").endsWith("2") ||
