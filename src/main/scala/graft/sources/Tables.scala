@@ -144,6 +144,91 @@ object Tables {
   def readLayoutLineage(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/_lineage")
 
+  /** COMPACTION — the missing lifecycle op of append-accumulating layouts:
+    * every `appendPartitioned` lands new small files inside the partition
+    * dirs, and at daily-append cadence a year of appends is hundreds of
+    * files per partition — file-listing and open-cost dominate the very
+    * scans the layout exists to prune. Compact rewrites the layout's data
+    * with ~one file per partition (repartition on the partition column
+    * before the partitioned write), PRESERVES the parameter record and
+    * completion marker (every `_`-sidecar except the lineage log is carried
+    * over byte-for-byte), and REPLACES the lineage log with a single
+    * `compact` row carrying the AGGREGATE of the old log (sum of rows, xor
+    * of id fingerprints) — NOT a recount of the layout's data, whose row
+    * multiplicity need not match the lineage's id domain (a band layout
+    * records signature batches, its data has 16 rows per id). The coverage
+    * audit therefore holds before and after by construction, and probes
+    * prune exactly as before (spec-asserted).
+    *
+    * Swap discipline on local parquet: write to `<path>.compacting`, then
+    * two ATOMIC directory renames (old → `.pre_compact`, new → path) and a
+    * trash delete — a crash leaves either the old or the new layout intact
+    * under at most a rename away, never a half-rewritten table. On Iceberg
+    * this whole operation is `rewrite_data_files` + snapshot expiry, one
+    * transactional call; the call-site shape is unchanged.
+    */
+  def compactLayout(spark: SparkSession, path: String, partCol: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = path + ".compacting"
+    val trash = path + ".pre_compact"
+    deleteRecursively(tmp); deleteRecursively(trash)
+    val data = spark.read.parquet(path).repartition(col(partCol))
+    format.writePartitioned(data, tmp, partCol)
+    // carry every `_` sidecar except the lineage log (replaced below):
+    // _meta keeps parameter validation alive, _GRAFT_COMPLETE keeps
+    // build-once gates satisfied
+    val entries = Files.list(Paths.get(path))
+    try entries.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("_") && n != "_lineage" && n != "_SUCCESS")
+        copyRecursively(p, Paths.get(tmp, n))
+    } finally entries.close()
+    // one compact row = the old log's aggregate (xor composes over the
+    // recorded batches), so whatever the log vouched for, it still does;
+    // a layout with no log stays logless
+    if (Files.exists(Paths.get(path, "_lineage"))) {
+      val lin = readLayoutLineage(spark, path)
+        .agg(sum(col("rows")), expr("bit_xor(id_fp)")).head()
+      format.append(
+        spark.range(1).select(
+          lit("compact").as("op"),
+          lit(if (lin.isNullAt(0)) 0L else lin.getLong(0)).as("rows"),
+          lit(if (lin.isNullAt(1)) 0L else lin.getLong(1)).as("id_fp"),
+          lit(graft.pipeline.Manifest.nextRunSeq()).as("run_seq")),
+        s"$tmp/_lineage")
+    }
+    Files.move(Paths.get(path), Paths.get(trash), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(trash)
+    // the path's identity is unchanged but its contents were rewritten:
+    // drop memoized meta validations so the next probe re-reads the
+    // (carried-over) record rather than trusting pre-compact state
+    validatedMeta.removeIf(_.startsWith(path + "|"))
+  }
+
+  private def deleteRecursively(p: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(p)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+  }
+
+  private def copyRecursively(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val target = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else {
+        Files.createDirectories(target.getParent)
+        Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally walk.close()
+  }
+
   /** Persist a layout's integer parameters under `<path>/_meta` (overwrite
     * — the meta IS the layout's current contract). Every layout whose
     * physical partitioning or encoding bakes in constants writes this

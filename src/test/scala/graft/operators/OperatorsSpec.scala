@@ -544,6 +544,43 @@ class OperatorsSpec extends SparkSpec {
     assert((oldPairs ++ incr) == full, s"union=${(oldPairs ++ incr).size} full=${full.size}")
   }
 
+  test("compactLayout: fewer files, identical rows, pruning/meta/audit all preserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toFile.toString
+    val bandPath = s"$tmp/bands"
+    val docs = Tables.read(spark, sfDir, "documents")
+    val sigs = Dedup.minHashSignatures(spark, docs, "doc_id", "text")
+    // a base build + three daily appends: every bucket dir accumulates
+    // per-batch small files — the state compaction exists to fix
+    Dedup.writeBandLayout(spark, sigs.filter(col("id") % 4 === 0), bandPath)
+    (1 to 3).foreach(i =>
+      Dedup.appendBandLayout(spark, sigs.filter(col("id") % 4 === i), bandPath))
+    def rows = spark.read.parquet(bandPath)
+      .select("id", "band", "bkey", "bucket").collect().map(_.toSeq).toSet
+    def files = spark.read.parquet(bandPath)
+      .select(input_file_name()).distinct().count()
+    val rowsBefore = rows
+    val filesBefore = files
+    assert(Tables.auditLayoutLineage(spark, bandPath, sigs, "id"))
+
+    Tables.compactLayout(spark, bandPath, "bucket")
+
+    assert(rows == rowsBefore, "compaction changed the data")
+    assert(files < filesBefore, s"no file reduction: ${files} !< $filesBefore")
+    // the single compact lineage row still vouches for the full source
+    assert(Tables.auditLayoutLineage(spark, bandPath, sigs, "id"))
+    // _meta survived AND the pruned path still equals the unpruned one
+    val newSigs = sigs.filter(col("id") % 4 === 3)
+    def pairSet2(df: org.apache.spark.sql.DataFrame) = df
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = pairSet2(Dedup.minHashCandidatesStoredPruned(
+      spark, bandPath, sigs, newSigs, minEstJaccard = 0.7))
+    val unpruned = pairSet2(Dedup.minHashCandidatesIncremental(
+      spark, sigs, newSigs, minEstJaccard = 0.7))
+    assert(pruned == unpruned, s"pruned=$pruned unpruned=$unpruned")
+  }
+
   test("simhash incremental: union(old pairs, new-batch increment) == full corpus pairs") {
     import spark.implicits._
     val hashes = Tables.read(spark, sfDir, "documents")
