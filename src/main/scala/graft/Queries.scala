@@ -2702,6 +2702,36 @@ object Queries {
        |${q27GateSql}
        |) WHERE id1 % 2 = 1 OR id2 % 2 = 1""".stripMargin
 
+  /** The stored-pruned candidate path over a COMPACTED band layout (q92):
+    * base write + append accumulate per-batch files, `Tables.compactLayout`
+    * rewrites the layout at ~one file per partition (sidecars carried,
+    * lineage log aggregated to one row), and the pruned incremental
+    * candidates must still be exactly the full corpus's new-touching pairs
+    * — q77's SQL verbatim, like q83, so the compaction lifecycle itself is
+    * gated in the artifact of record: identical answers, fewer files, the
+    * in-operator coverage audit satisfied by the compact row.
+    */
+  private def compactBandLayout(s: SparkSession, dir: String): String = {
+    val p = layoutPath("bandkeys_compact_b16n256", dir, srcTable = "documents")
+    ensureLayout(p) {
+      val sigs = s.read.parquet(sigLayout(s, dir))
+      Dedup.writeBandLayout(s, sigs.filter(col("id") % 2 === 0), p)
+      Dedup.appendBandLayout(s, sigs.filter(col("id") % 2 =!= 0), p)
+      Tables.compactLayout(s, p, "bucket")
+    }
+  }
+
+  def q92CompactPruned(s: SparkSession, dir: String): DataFrame = {
+    val all = s.read.parquet(sigLayout(s, dir))
+    val newSigs = all.filter(col("id") % 2 =!= 0)
+    Dedup.minHashCandidatesStoredPruned(
+      s, compactBandLayout(s, dir), all, newSigs,
+      bands = 16, nBuckets = 256, minEstJaccard = 0.7)
+      .select(col("id1"), col("id2"))
+  }
+
+  def q92Sql: String = q77Sql
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2794,7 +2824,8 @@ object Queries {
     "q88_decontam_incr" -> ((q88DecontamIncr _, q88Sql)),
     "q89_dedup_incr_state" -> ((q89DedupIncrState _, q89Sql)),
     "q90_embed_neardup_incr" -> ((q90EmbedNearDupIncr _, q90Sql)),
-    "q91_simhash_incr" -> ((q91SimHashIncr _, q91Sql))
+    "q91_simhash_incr" -> ((q91SimHashIncr _, q91Sql)),
+    "q92_compact_pruned" -> ((q92CompactPruned _, q92Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):
