@@ -2495,13 +2495,33 @@ object Queries {
     * odd half (parameters persisted/validated via _meta, lineage recorded
     * per batch — the coverage audit inside the pruned read depends on it).
     */
-  private def bandLayout(s: SparkSession, dir: String): String = {
-    val p = layoutPath("bandkeys_b16n256", dir, srcTable = "documents")
+  private def bandLayout(s: SparkSession, dir: String): String =
+    builtBandLayout(s, dir, "bandkeys_b16n256")(_ => ())
+
+  /** The ONE even/odd split-build of a band-key layout (q83, q92): base
+    * write of the even-id keys, append of the odd half, then `after` (the
+    * q92 compaction hook) — so the twin gates cannot drift apart.
+    */
+  private def builtBandLayout(s: SparkSession, dir: String, kind: String)(
+      after: String => Unit): String = {
+    val p = layoutPath(kind, dir, srcTable = "documents")
     ensureLayout(p) {
       val sigs = s.read.parquet(sigLayout(s, dir))
       Dedup.writeBandLayout(s, sigs.filter(col("id") % 2 === 0), p)
       Dedup.appendBandLayout(s, sigs.filter(col("id") % 2 =!= 0), p)
+      after(p)
     }
+  }
+
+  /** The ONE stored-pruned gate body (q83 over the plain layout, q92 over
+    * the compacted one): odd-id batch pruned against the given band layout.
+    */
+  private def storedPrunedOver(s: SparkSession, dir: String, layout: String): DataFrame = {
+    val all = s.read.parquet(sigLayout(s, dir))
+    Dedup.minHashCandidatesStoredPruned(
+      s, layout, all, all.filter(col("id") % 2 =!= 0),
+      bands = 16, nBuckets = 256, minEstJaccard = 0.7)
+      .select(col("id1"), col("id2"))
   }
 
   /** The stored-PRUNED incremental candidate path, oracle-gated with q77's
@@ -2513,13 +2533,8 @@ object Queries {
     * the new batch. The in-operator lineage audit proves the layout covers
     * all signatures before pruning.
     */
-  def q83MinHashStoredPruned(s: SparkSession, dir: String): DataFrame = {
-    val all = s.read.parquet(sigLayout(s, dir))
-    val newSigs = all.filter(col("id") % 2 =!= 0)
-    Dedup.minHashCandidatesStoredPruned(
-      s, bandLayout(s, dir), all, newSigs, bands = 16, nBuckets = 256, minEstJaccard = 0.7)
-      .select(col("id1"), col("id2"))
-  }
+  def q83MinHashStoredPruned(s: SparkSession, dir: String): DataFrame =
+    storedPrunedOver(s, dir, bandLayout(s, dir))
 
   def q83Sql: String = q77Sql
 
@@ -2711,24 +2726,10 @@ object Queries {
     * gated in the artifact of record: identical answers, fewer files, the
     * in-operator coverage audit satisfied by the compact row.
     */
-  private def compactBandLayout(s: SparkSession, dir: String): String = {
-    val p = layoutPath("bandkeys_compact_b16n256", dir, srcTable = "documents")
-    ensureLayout(p) {
-      val sigs = s.read.parquet(sigLayout(s, dir))
-      Dedup.writeBandLayout(s, sigs.filter(col("id") % 2 === 0), p)
-      Dedup.appendBandLayout(s, sigs.filter(col("id") % 2 =!= 0), p)
-      Tables.compactLayout(s, p, "bucket")
-    }
-  }
-
-  def q92CompactPruned(s: SparkSession, dir: String): DataFrame = {
-    val all = s.read.parquet(sigLayout(s, dir))
-    val newSigs = all.filter(col("id") % 2 =!= 0)
-    Dedup.minHashCandidatesStoredPruned(
-      s, compactBandLayout(s, dir), all, newSigs,
-      bands = 16, nBuckets = 256, minEstJaccard = 0.7)
-      .select(col("id1"), col("id2"))
-  }
+  def q92CompactPruned(s: SparkSession, dir: String): DataFrame =
+    storedPrunedOver(s, dir,
+      builtBandLayout(s, dir, "bandkeys_compact_b16n256")(p =>
+        Tables.compactLayout(s, p, "bucket")))
 
   def q92Sql: String = q77Sql
 

@@ -148,55 +148,54 @@ object Tables {
     * every `appendPartitioned` lands new small files inside the partition
     * dirs, and at daily-append cadence a year of appends is hundreds of
     * files per partition — file-listing and open-cost dominate the very
-    * scans the layout exists to prune. Compact rewrites the layout's data
+    * scans the layout exists to prune. Compact rewrites the layout's DATA
     * with ~one file per partition (repartition on the partition column
-    * before the partitioned write), PRESERVES the parameter record and
-    * completion marker (every `_`-sidecar except the lineage log is carried
-    * over byte-for-byte), and REPLACES the lineage log with a single
-    * `compact` row carrying the AGGREGATE of the old log (sum of rows, xor
-    * of id fingerprints) — NOT a recount of the layout's data, whose row
-    * multiplicity need not match the lineage's id domain (a band layout
-    * records signature batches, its data has 16 rows per id). The coverage
-    * audit therefore holds before and after by construction, and probes
-    * prune exactly as before (spec-asserted).
+    * before the partitioned write) and carries EVERY `_`-sidecar over
+    * byte-for-byte — the parameter record, the completion marker, AND the
+    * lineage log UNCHANGED: the log is batch-sized (tiny) and its
+    * structure is load-bearing — idempotency-keyed rows must stay
+    * individually supersedable by later re-lands, which collapsing the log
+    * into an aggregated row would break. The coverage audit therefore
+    * holds before and after trivially, and probes prune exactly as before
+    * (spec-asserted).
     *
     * Swap discipline on local parquet: write to `<path>.compacting`, then
     * two ATOMIC directory renames (old → `.pre_compact`, new → path) and a
-    * trash delete — a crash leaves either the old or the new layout intact
-    * under at most a rename away, never a half-rewritten table. On Iceberg
-    * this whole operation is `rewrite_data_files` + snapshot expiry, one
+    * trash delete. A crash between the renames leaves path absent with the
+    * old layout complete at `.pre_compact` — the next invocation RESTORES
+    * it before touching anything, so re-running after any crash converges
+    * and never deletes the sole surviving copy. On Iceberg this whole
+    * operation is `rewrite_data_files` + snapshot expiry, one
     * transactional call; the call-site shape is unchanged.
     */
   def compactLayout(spark: SparkSession, path: String, partCol: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = path + ".compacting"
     val trash = path + ".pre_compact"
+    // crash recovery FIRST: a previous compaction that died between the two
+    // renames left path absent and the old layout at .pre_compact — restore
+    // it and redo from scratch. Only then is clearing the work dirs safe
+    // (they are never the sole surviving copy).
+    if (!Files.exists(Paths.get(path)) && Files.exists(Paths.get(trash)))
+      Files.move(Paths.get(trash), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    require(Files.exists(Paths.get(path)), s"no layout at $path to compact")
     deleteRecursively(tmp); deleteRecursively(trash)
+    // the partition column is a PROPERTY of the layout — validate the
+    // caller's claim against the on-disk partition dirs: a rewrite
+    // partitioned by the wrong column would pass every data/audit check
+    // while silently killing partition pruning (the failure mode must be
+    // an error, not a wrong answer)
+    val dirCols = listNames(path).filter(_.contains("=")).map(_.split("=")(0)).toSet
+    require(dirCols == Set(partCol),
+      s"layout at $path is partitioned by [${dirCols.mkString(",")}] but compaction " +
+        s"was asked to partition by $partCol")
     val data = spark.read.parquet(path).repartition(col(partCol))
     format.writePartitioned(data, tmp, partCol)
-    // carry every `_` sidecar except the lineage log (replaced below):
-    // _meta keeps parameter validation alive, _GRAFT_COMPLETE keeps
-    // build-once gates satisfied
-    val entries = Files.list(Paths.get(path))
-    try entries.forEach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("_") && n != "_lineage" && n != "_SUCCESS")
-        copyRecursively(p, Paths.get(tmp, n))
-    } finally entries.close()
-    // one compact row = the old log's aggregate (xor composes over the
-    // recorded batches), so whatever the log vouched for, it still does;
-    // a layout with no log stays logless
-    if (Files.exists(Paths.get(path, "_lineage"))) {
-      val lin = readLayoutLineage(spark, path)
-        .agg(sum(col("rows")), expr("bit_xor(id_fp)")).head()
-      format.append(
-        spark.range(1).select(
-          lit("compact").as("op"),
-          lit(if (lin.isNullAt(0)) 0L else lin.getLong(0)).as("rows"),
-          lit(if (lin.isNullAt(1)) 0L else lin.getLong(1)).as("id_fp"),
-          lit(graft.pipeline.Manifest.nextRunSeq()).as("run_seq")),
-        s"$tmp/_lineage")
-    }
+    // carry every `_` sidecar byte-for-byte: _meta keeps parameter
+    // validation alive, _GRAFT_COMPLETE keeps build-once gates satisfied,
+    // _lineage keeps the audit AND per-key supersedability intact
+    listNames(path).filter(n => n.startsWith("_") && n != "_SUCCESS").foreach(n =>
+      copyRecursively(Paths.get(path, n), Paths.get(tmp, n)))
     Files.move(Paths.get(path), Paths.get(trash), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(trash)
@@ -204,6 +203,17 @@ object Tables {
     // drop memoized meta validations so the next probe re-reads the
     // (carried-over) record rather than trusting pre-compact state
     validatedMeta.removeIf(_.startsWith(path + "|"))
+  }
+
+  /** Top-level entry names of a local directory (stream closed). */
+  private def listNames(dir: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val entries = Files.list(Paths.get(dir))
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      entries.forEach(p => buf += p.getFileName.toString)
+      buf.toSeq
+    } finally entries.close()
   }
 
   private def deleteRecursively(p: String): Unit = {

@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpec {
 
+  /** (id1, id2) row set of a pair-emitting operator's output. */
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+    .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
   test("pages synthesis: byte-identity invariant holds for every url at sf0.001") {
     import spark.implicits._
     val bad = Tables.pages(spark, sfDir)
@@ -535,8 +539,6 @@ class OperatorsSpec extends SparkSpec {
     val newBatch = planted.filter(col("vec_id") % 2 === 0)
     val oldCorpus = emb.unionByName(planted.filter(col("vec_id") % 2 =!= 0))
     val all = emb.unionByName(planted)
-    def pairSet(df: org.apache.spark.sql.DataFrame) = df
-      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val oldPairs = pairSet(Ann.nearDupPairs(spark, oldCorpus, "vec_id", "embedding"))
     val incr = pairSet(Ann.nearDupPairsIncremental(spark, all, newBatch, "vec_id", "embedding"))
     val full = pairSet(Ann.nearDupPairs(spark, all, "vec_id", "embedding"))
@@ -572,11 +574,9 @@ class OperatorsSpec extends SparkSpec {
     assert(Tables.auditLayoutLineage(spark, bandPath, sigs, "id"))
     // _meta survived AND the pruned path still equals the unpruned one
     val newSigs = sigs.filter(col("id") % 4 === 3)
-    def pairSet2(df: org.apache.spark.sql.DataFrame) = df
-      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pruned = pairSet2(Dedup.minHashCandidatesStoredPruned(
+    val pruned = pairSet(Dedup.minHashCandidatesStoredPruned(
       spark, bandPath, sigs, newSigs, minEstJaccard = 0.7))
-    val unpruned = pairSet2(Dedup.minHashCandidatesIncremental(
+    val unpruned = pairSet(Dedup.minHashCandidatesIncremental(
       spark, sigs, newSigs, minEstJaccard = 0.7))
     assert(pruned == unpruned, s"pruned=$pruned unpruned=$unpruned")
   }
@@ -590,8 +590,6 @@ class OperatorsSpec extends SparkSpec {
       .toDF("id", "simhash")
     val newH = hashes.filter(col("id") % 2 =!= 0)
     val oldH = hashes.filter(col("id") % 2 === 0)
-    def pairSet(df: org.apache.spark.sql.DataFrame) = df
-      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val oldPairs = pairSet(Dedup.simHashPairs(spark, oldH, 3, 4, 12))
     val incr = pairSet(Dedup.simHashPairsIncremental(spark, hashes, newH, 3, 4, 12))
     val full = pairSet(Dedup.simHashPairs(spark, hashes, 3, 4, 12))
@@ -839,8 +837,6 @@ class OperatorsSpec extends SparkSpec {
     val docs = Tables.read(spark, sfDir, "documents")
     val batchA = docs.filter(col("doc_id") % 2 === 0)
     val batchB = docs.filter(col("doc_id") % 2 =!= 0)
-    def pairSet(df: org.apache.spark.sql.DataFrame) =
-      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // day 1: build from batch A, run candidates (what that run would emit)
     Dedup.writeSignatureLayout(spark, batchA, "doc_id", "text", path)
     val before = pairSet(Dedup.minHashCandidates(spark, spark.read.parquet(path), 16, 0.7))
@@ -930,8 +926,6 @@ class OperatorsSpec extends SparkSpec {
     Dedup.writeBandLayout(spark, sigsA, bandPath)
     Dedup.appendBandLayout(spark, sigsB, bandPath)
     val allSigs = sigsA.unionByName(sigsB)
-    def pairSet(df: org.apache.spark.sql.DataFrame) = df
-      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pruned = pairSet(Dedup.minHashCandidatesStoredPruned(
       spark, bandPath, allSigs, sigsB, minEstJaccard = 0.7))
     val unpruned = pairSet(Dedup.minHashCandidatesIncremental(
