@@ -579,6 +579,20 @@ class OperatorsSpec extends SparkSpec {
     val unpruned = pairSet(Dedup.minHashCandidatesIncremental(
       spark, sigs, newSigs, minEstJaccard = 0.7))
     assert(pruned == unpruned, s"pruned=$pruned unpruned=$unpruned")
+
+    // crash recovery: simulate dying between the two swap renames (path
+    // absent, old layout stranded at .pre_compact) — the next invocation
+    // must RESTORE and converge, not delete the sole surviving copy
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(bandPath), java.nio.file.Paths.get(bandPath + ".pre_compact"))
+    Tables.compactLayout(spark, bandPath, "bucket")
+    assert(rows == rowsBefore, "crash-recovery compaction lost or changed data")
+    assert(Tables.auditLayoutLineage(spark, bandPath, sigs, "id"))
+    // a wrong partition column must error, never rewrite
+    val e = intercept[IllegalArgumentException] {
+      Tables.compactLayout(spark, bandPath, "band")
+    }
+    assert(e.getMessage.contains("partitioned by"), e.getMessage)
   }
 
   test("simhash incremental: union(old pairs, new-batch increment) == full corpus pairs") {
