@@ -392,6 +392,18 @@ class PlanSpec extends SparkSpec {
       scans.head.partitionFilters.mkString(","))
   }
 
+  test("q92: the COMPACTED gated layout still carries the bucket partition filter") {
+    val df = Queries.q92CompactPruned(spark, sfDir) // builds + compacts on first use
+    df.collect()
+    val scans = initialPlan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.filter(_.metadata("Location").contains("bandkeys_compact"))
+    assert(scans.nonEmpty, initialPlan(df).toString)
+    assert(scans.head.partitionFilters.nonEmpty &&
+      scans.head.partitionFilters.mkString(",").contains("bucket"),
+      scans.head.partitionFilters.mkString(","))
+  }
+
   test("q83: the DRIVER-GATED stored-pruned path carries the bucket partition filter; a small append prunes files through the SAME path") {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val df = Queries.q83MinHashStoredPruned(spark, sfDir) // builds sig + band layouts on first use

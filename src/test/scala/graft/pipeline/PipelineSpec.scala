@@ -250,6 +250,35 @@ class PipelineSpec extends SparkSpec {
       "a re-landed batch double-appended its lineage row")
   }
 
+  test("compaction of a keyed-lineage layout: audit survives, and a later batch RE-LAND still supersedes cleanly") {
+    val tmp = Files.createTempDirectory("graft-kg-compact").toString
+    val p = s"$tmp/triples"
+    val pagesA = Tables.pagesWhere(spark, sfDir, col("doc_id") % 2 === 0)
+    val pagesB = Tables.pagesWhere(spark, sfDir, col("doc_id") % 2 =!= 0)
+    KgPipeline.writeTriplesBatch(spark, pagesA, p, 0)
+    KgPipeline.writeTriplesBatch(spark, pagesB, p, 1)
+    def tripleSet = spark.read.parquet(p)
+      .select("subj", "pred", "obj", "url", "ts").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getTimestamp(4))).toSet
+    val before = tripleSet
+    val allPages = Tables.pages(spark, sfDir).toDF()
+    assert(Tables.auditLayoutLineage(spark, p, allPages, "url"))
+
+    // compact: the keyed lineage log must be carried UNCHANGED — an
+    // aggregated compact row would break the re-land supersedability below
+    Tables.compactLayout(spark, p, "batch")
+    assert(tripleSet == before)
+    assert(Tables.auditLayoutLineage(spark, p, allPages, "url"))
+
+    // the crash-recovery re-land AFTER compaction: batch 1's keyed lineage
+    // row must supersede (not double-append next to) the carried log
+    KgPipeline.writeTriplesBatch(spark, pagesB, p, 1)
+    assert(tripleSet == before)
+    assert(Tables.auditLayoutLineage(spark, p, allPages, "url"),
+      "re-land after compaction broke the lineage audit")
+  }
+
   test("semigroupMerge property: for seeded random batches and arbitrary splits, merge of batch aggregates == direct aggregate") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
