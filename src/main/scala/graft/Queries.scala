@@ -2733,6 +2733,41 @@ object Queries {
 
   def q92Sql: String = q77Sql
 
+  /** Incrementally-maintained paragraph-DF state (q93): the corpus
+    * statistic behind boilerplate removal — per-paragraph-digest
+    * distinct-document frequency — maintained by sum-merge over parity
+    * batches (distinct-doc counts over doc-disjoint batches add), over
+    * q54's injected fixture so the boilerplate paragraph's df is corpus-
+    * sized and every original paragraph's is 1+. The one corpus statistic
+    * q54 pays for nightly becomes append-priced; gated byte-equal to the
+    * one-shot df aggregate in SQL.
+    */
+  def q93BoilerplateDfIncr(s: SparkSession, dir: String): DataFrame = {
+    def docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("copyright notice all rights "), col("text")).as("text"))
+    val p = twoStateLayout(s, layoutPath("paradf_parity", dir, srcTable = "documents"))(
+      Dedup.paragraphDf(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", paraWords = 4))(st1 =>
+      KgPipeline.sumMerge(st1,
+        Dedup.paragraphDf(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", paraWords = 4),
+        "pfp", Seq("df")))
+    s.read.parquet(s"$p/state_2")
+  }
+
+  def q93Sql: String =
+    """WITH injected AS (
+      |  SELECT doc_id, 'copyright notice all rights ' || text AS text FROM documents),
+      |w AS (
+      |  SELECT doc_id, g.i - 1 AS i, arr[g.i] AS w
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      |        FROM injected WHERE trim(text) <> '') t,
+      |       LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g),
+      |paras AS (
+      |  SELECT doc_id, i // 4 AS pidx, string_agg(w, ' ' ORDER BY i) AS para
+      |  FROM w GROUP BY doc_id, i // 4)
+      |SELECT md5(para) AS pfp, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM paras GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------------------- maps
 
   val sqlChecked: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2826,7 +2861,8 @@ object Queries {
     "q89_dedup_incr_state" -> ((q89DedupIncrState _, q89Sql)),
     "q90_embed_neardup_incr" -> ((q90EmbedNearDupIncr _, q90Sql)),
     "q91_simhash_incr" -> ((q91SimHashIncr _, q91Sql)),
-    "q92_compact_pruned" -> ((q92CompactPruned _, q92Sql))
+    "q92_compact_pruned" -> ((q92CompactPruned _, q92Sql)),
+    "q93_paradf_incr" -> ((q93BoilerplateDfIncr _, q93Sql))
   )
 
   /** ANN scoring via the native codegen expression (plans.ScaledDotExpr):

@@ -414,16 +414,7 @@ object Dedup {
       paraWords: Int = 50,
       maxDocFreq: Long = 1000
   ): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    val paras = base.as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        toks.grouped(paraWords).zipWithIndex.map { case (ws, i) => (id, i, ws.mkString(" ")) }
-      }
-      .toDF("id", "pidx", "para")
-    val withFp = paras.withColumn("pfp", md5(col("para")))
+    val withFp = paragraphRows(docs, idCol, textCol, paraWords)
     val bp = withFp.groupBy("pfp").agg(countDistinct(col("id")).as("df"))
       .filter(col("df") >= maxDocFreq)
       .select(col("pfp"))
@@ -434,10 +425,40 @@ object Dedup {
           array_sort(collect_list(struct(col("pidx"), col("para")))),
           x => x.getField("para")),
         " ").as("kept_text"))
-    base.select(col("id"))
+    docs.select(col(idCol).cast("long").as("id"))
       .join(rebuilt, Seq("id"), "left_outer")
       .select(col("id").as(idCol), coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  /** (id, pidx, para, pfp) paragraph rows — the shared splitter behind
+    * boilerplate removal and the df-state maintenance (q93).
+    */
+  private def paragraphRows(
+      docs: DataFrame, idCol: String, textCol: String, paraWords: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        toks.grouped(paraWords).zipWithIndex.map { case (ws, i) => (id, i, ws.mkString(" ")) }
+      }
+      .toDF("id", "pidx", "para")
+      .withColumn("pfp", md5(col("para")))
+  }
+
+  /** The CORPUS-STATISTIC half of boilerplate removal, exposed for
+    * incremental maintenance: per-paragraph-digest distinct-document
+    * frequency. Distinct-doc counts over DOC-DISJOINT batches ADD, so the
+    * stored (pfp, df) table maintains by sum-merge — the node-table algebra
+    * applied to the pipeline's most expensive text statistic (q93 gates
+    * it). At 100 TB this is the difference between re-counting every
+    * paragraph of the corpus nightly and counting only the day's append.
+    */
+  def paragraphDf(
+      docs: DataFrame, idCol: String, textCol: String, paraWords: Int = 50): DataFrame =
+    paragraphRows(docs, idCol, textCol, paraWords)
+      .groupBy("pfp").agg(countDistinct(col("id")).as("df"))
 
   // ------------------------------------------------ cluster resolution (CC)
 
