@@ -2459,12 +2459,14 @@ object Queries {
     * parquet: the update writes a NEW state, never overwrites the one it
     * reads.
     */
-  /** The two-snapshot maintenance build shared by q82 and q87: write day
+  /** The two-snapshot maintenance build shared by q82/q87/q93: write day
     * 1's aggregate as snapshot state_1, then state_2 = update(stored
     * state_1) — the update READS snapshot N and WRITES snapshot N+1, never
     * overwriting what it reads (the Iceberg-snapshot shape on local
     * parquet). Both arguments are lazy: nothing is computed when the layout
-    * is already built.
+    * is already built. Older snapshots are deliberately RETAINED — they are
+    * the rollback/time-travel surface; production prunes them with a
+    * retention policy (Iceberg's expire_snapshots), never at write time.
     */
   private def twoStateLayout(s: SparkSession, p: String)(state1: => DataFrame)(
       update: DataFrame => DataFrame): String =
