@@ -2231,6 +2231,12 @@ object Queries {
     }
   }
 
+  /** Diagnostics-only accessor for the stored signature layout path (used by
+    * graft.BenchExtra to isolate stage costs — not a query path).
+    */
+  private[graft] def sigLayoutForDiagnostics(s: SparkSession, dir: String): String =
+    sigLayout(s, dir)
+
   /** MinHash candidates over the MATERIALIZED signature table: the stored
     * (id, sig) layout is built incrementally (base write + append — each
     * doc is sketched ONCE, ever), then candidate generation runs over the

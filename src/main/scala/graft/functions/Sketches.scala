@@ -15,16 +15,20 @@ object Sketches {
   // differently-configured JVM. ROOT pins ASCII casing on every host.
   private val Root = java.util.Locale.ROOT
 
+  // compiled once — String.split/replaceAll(regex) recompile per call, and
+  // these tokenizers run per document on the sketch hot path
+  private val WsPat = java.util.regex.Pattern.compile("\\s+")
+
   /** Character n-gram shingles of the whitespace-normalized, lowercased text. */
   def shingles(text: String, n: Int): Set[String] = {
-    val norm = text.toLowerCase(Root).replaceAll("\\s+", " ").trim
+    val norm = WsPat.matcher(text.toLowerCase(Root)).replaceAll(" ").trim
     if (norm.length < n) if (norm.isEmpty) Set.empty else Set(norm)
     else (0 to norm.length - n).map(i => norm.substring(i, i + n)).toSet
   }
 
   /** Word n-gram shingles. */
   def wordShingles(text: String, n: Int): Set[String] = {
-    val toks = text.toLowerCase(Root).split("\\s+").filter(_.nonEmpty)
+    val toks = WsPat.split(text.toLowerCase(Root)).filter(_.nonEmpty)
     if (toks.length < n) toks.toSet
     else toks.sliding(n).map(_.mkString(" ")).toSet
   }
@@ -99,7 +103,7 @@ object Sketches {
 
   /** 64-bit SimHash over word features. */
   def simHash(text: String): Long = {
-    val toks = text.toLowerCase(Root).split("\\s+").filter(_.nonEmpty)
+    val toks = WsPat.split(text.toLowerCase(Root)).filter(_.nonEmpty)
     if (toks.isEmpty) return 0L
     val acc = new Array[Int](64)
     toks.foreach { t =>
@@ -150,7 +154,7 @@ object Sketches {
     * oracle would drop a 0-sketch doc from its word CTE).
     */
   def simHash48(text: String): Long = {
-    val toks = text.toLowerCase(Root).split("\\s+").filter(_.nonEmpty)
+    val toks = WsPat.split(text.toLowerCase(Root)).filter(_.nonEmpty)
     if (toks.isEmpty) return 0L
     val acc = new Array[Int](48)
     toks.foreach { t =>

@@ -310,8 +310,11 @@ object TextAnalysis {
     * grams → (0, 0). Pure per-document function: the distributed form is a
     * narrow map, zero shuffles (repetitionColumns below).
     */
+  // compiled once — String.split(regex) recompiles the pattern per call
+  private val WsPat = java.util.regex.Pattern.compile("\\s+")
+
   def repetitionStats(text: String, n: Int = 2): (Long, Long) = {
-    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val toks = WsPat.split(text).filter(_.nonEmpty)
     if (toks.length < n) return (0L, 0L)
     val counts = new java.util.HashMap[String, Long]()
     var max = 0L

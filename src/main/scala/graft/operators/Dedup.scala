@@ -21,6 +21,10 @@ import graft.functions.Sketches
   */
 object Dedup {
 
+  // compiled once — String.split(regex) recompiles the pattern per call,
+  // and these splitters run per document (paragraphs, decontamination grams)
+  private val WsPat = java.util.regex.Pattern.compile("\\s+")
+
   /** The canonical normalized-content digest (whitespace-collapsed,
     * lowercased, md5) — THE content identity every exact-dedup consumer
     * shares (exact, q25, the q67 survivor pick). Delegates to the single
@@ -112,6 +116,13 @@ object Dedup {
       .toDF("id1", "id2", "est_jaccard")
       .filter(col("est_jaccard") >= minEstJaccard)
   }
+
+  /** Diagnostics-only accessor for `banded` (graft.BenchExtra stage
+    * isolation — not a query path).
+    */
+  private[graft] def bandedForDiagnostics(
+      spark: SparkSession, sigs: DataFrame, bands: Int): DataFrame =
+    banded(spark, sigs, bands)
 
   /** Banded (id, band, bkey) rows of a signature table — the LSH key
     * explode shared by the full and incremental candidate paths.
@@ -440,7 +451,7 @@ object Dedup {
     docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        val toks = WsPat.split(text.trim).filter(_.nonEmpty)
         toks.grouped(paraWords).zipWithIndex.map { case (ws, i) => (id, i, ws.mkString(" ")) }
       }
       .toDF("id", "pidx", "para")
@@ -778,7 +789,7 @@ object Dedup {
     * shared tokenization of decontaminate and its streaming form.
     */
   def wordGrams(text: String, n: Int): Iterator[String] = {
-    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val toks = WsPat.split(text).filter(_.nonEmpty)
     if (toks.length < n) Iterator.empty else toks.sliding(n).map(_.mkString(" "))
   }
 

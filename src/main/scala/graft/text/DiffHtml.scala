@@ -58,10 +58,8 @@ object DiffHtml {
   /** Deterministic reference-node hash (J5 substitution for
     * get_reference_hash, get_updates.py:694-701).
     */
-  def mintRefHash(entityId: String, revId: Long, pid: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s"$entityId|$revId|$pid".getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  def mintRefHash(entityId: String, revId: Long, pid: String): String =
+    graft.functions.Sketches.md5Hex(s"$entityId|$revId|$pid")
 
   /** extract_href (get_updates.py:883-916) over a parsed tag. */
   def extractHref(tag: Elem): String = {
@@ -210,11 +208,8 @@ object DiffHtml {
     * argument list (entity_id, revision_id, reference_id, property_id —
     * get_updates.py:611-613).
     */
-  def mintTimeNode(entityId: String, revId: Long, refHash: Option[String], mainPid: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s"$entityId|$revId|${refHash.orNull}|$mainPid".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-  }
+  def mintTimeNode(entityId: String, revId: Long, refHash: Option[String], mainPid: String): String =
+    graft.functions.Sketches.md5Hex(s"$entityId|$revId|${refHash.orNull}|$mainPid")
 
   /** A resolved time datavalue (the `value` object of a time snak). */
   final case class TimeValue(

@@ -31,9 +31,35 @@ object Html {
     def attr(key: String): Option[String] = attrList.collectFirst { case (k, v) if k == key => v }
 
     def classes: Set[String] =
-      attr("class").map(_.split("\\s+").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+      attr("class").map(s => Html.WsPat.split(s).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
 
-    def hasClass(c: String): Boolean = classes.contains(c)
+    /** Token membership in the class attribute. Semantics identical to
+      * `classes.contains(c)` (tokens = runs between `\s+` separators), but
+      * allocation-free: this is the hottest call of the diff-table walk
+      * (several per td per row), and the regex-split + Set build was the
+      * walk's dominant per-document cost.
+      */
+    def hasClass(c: String): Boolean = {
+      if (c.isEmpty) return false
+      var ai = 0
+      while (ai < attrList.length) {
+        if (attrList(ai)._1 == "class") {
+          val s = attrList(ai)._2
+          var i = 0
+          val n = s.length
+          while (i < n) {
+            while (i < n && Html.isWs(s.charAt(i))) i += 1
+            var j = i
+            while (j < n && !Html.isWs(s.charAt(j))) j += 1
+            if (j - i == c.length && s.regionMatches(i, c, 0, c.length)) return true
+            i = j
+          }
+          return false // first class attribute wins, like attr()
+        }
+        ai += 1
+      }
+      false
+    }
 
     /** All descendant elements (document order, self excluded). */
     def findAll(p: Elem => Boolean): Vector[Elem] = {
@@ -104,6 +130,15 @@ object Html {
     }
   }
 
+  /** Java-regex `\s` class ([ \t\n\x0B\f\r]) — the separator set of the
+    * `split("\\s+")` the token scan above replaces.
+    */
+  private[text] def isWs(ch: Char): Boolean =
+    ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r'
+
+  /** Compiled once: String.split(regex) recompiles the pattern per call. */
+  private[text] val WsPat = java.util.regex.Pattern.compile("\\s+")
+
   private val Void = Set("br", "hr", "img", "input", "meta", "link", "col", "area", "base", "wbr")
 
   /** Parse a document/fragment into a synthetic `root` element. */
@@ -164,17 +199,56 @@ object Html {
     Elem(n, a, ch.toVector)
   }
 
-  private val AttrPat = """([a-zA-Z_:][a-zA-Z0-9_:.-]*)\s*(?:=\s*("([^"]*)"|'([^']*)'|[^\s"'>]+))?""".r
+  // Hand-rolled equivalent of the original attribute regex
+  //   ([a-zA-Z_:][a-zA-Z0-9_:.-]*)\s*(?:=\s*("([^"]*)"|'([^']*)'|[^\s"'>]+))?
+  // applied findAllMatchIn-style (scan forward, skip chars that cannot start
+  // a match). The regex recompiled a Matcher and allocated groups per tag;
+  // attribute parsing is the dominant cost of Html.parse on the diff-walk
+  // hot path. HtmlSpec pins the behavior (quoted/unquoted/valueless attrs).
+  private def nameStart(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_' || c == ':'
+  private def nameChar(c: Char): Boolean =
+    nameStart(c) || (c >= '0' && c <= '9') || c == '.' || c == '-'
 
-  private def parseAttrs(s: String): Vector[(String, String)] =
-    AttrPat.findAllMatchIn(s).map { m =>
-      val v =
-        if (m.group(3) != null) m.group(3)
-        else if (m.group(4) != null) m.group(4)
-        else if (m.group(2) != null) m.group(2)
-        else ""
-      m.group(1) -> unescape(v)
-    }.toVector
+  private def parseAttrs(s: String): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && !nameStart(s.charAt(i))) i += 1
+      if (i < n) {
+        val ns = i
+        i += 1
+        while (i < n && nameChar(s.charAt(i))) i += 1
+        val name = s.substring(ns, i)
+        // \s* is consumed by the match whether or not a value follows
+        var j = i
+        while (j < n && isWs(s.charAt(j))) j += 1
+        var value = ""
+        var consumedTo = j
+        if (j < n && s.charAt(j) == '=') {
+          var k = j + 1
+          while (k < n && isWs(s.charAt(k))) k += 1
+          if (k < n && (s.charAt(k) == '"' || s.charAt(k) == '\'')) {
+            val q = s.charAt(k)
+            val end = s.indexOf(q, k + 1)
+            if (end >= 0) { value = s.substring(k + 1, end); consumedTo = end + 1 }
+            // unterminated quote: the quoted alternative cannot match and the
+            // unquoted one cannot start with a quote char → the optional
+            // value group is skipped (valueless attr), like the regex
+          } else if (k < n) {
+            val vs = k
+            var ke = k
+            while (ke < n && { val c = s.charAt(ke); !isWs(c) && c != '"' && c != '\'' && c != '>' }) ke += 1
+            if (ke > vs) { value = s.substring(vs, ke); consumedTo = ke }
+          }
+        }
+        out += name -> unescape(value)
+        i = consumedTo
+      }
+    }
+    out.result()
+  }
 
   private val NamedEntities: Map[String, String] = Map(
     "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",

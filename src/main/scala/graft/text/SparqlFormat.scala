@@ -197,10 +197,13 @@ object SparqlFormat {
     (out, mapping.toMap)
   }
 
+  // compiled once — String.split(regex) recompiles its pattern per call,
+  // and these helpers run per row/flush of the diff walk
+  private val WsPat = java.util.regex.Pattern.compile("\\s+")
+
   /** `"normal rank"` → `NormalRank` (get_updates.py:951-958). */
   def toCamelCase(s: String): String =
-    s.stripPrefix("\"").stripSuffix("\"").trim
-      .split("\\s+").filter(_.nonEmpty)
+    WsPat.split(s.stripPrefix("\"").stripSuffix("\"").trim).filter(_.nonEmpty)
       .map(w => w.substring(0, 1).toUpperCase + w.substring(1).toLowerCase)
       .mkString("")
 
@@ -252,10 +255,8 @@ object SparqlFormat {
     * (entity, pid, obj), shaped like Wikidata's own `s:Qn-…` ids
     * (sample_result.txt:29).
     */
-  def mintStatementId(entityId: String, pid: String, obj: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$entityId|$pid|$obj".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    s"s:$entityId-$h"
-  }
+  def mintStatementId(entityId: String, pid: String, obj: String): String =
+    // same lowercase-hex md5 as before; md5Hex reuses a thread-local digest
+    // and a table-driven hex encode instead of a Formatter per byte
+    s"s:$entityId-${graft.functions.Sketches.md5Hex(s"$entityId|$pid|$obj")}"
 }
