@@ -202,6 +202,12 @@ object BenchExtra {
       println(s"[extra] top bucket sizes: $top")
     }
 
+    if (want("v75")) {
+      verboseStages.set(true)
+      time("v75_full") { Queries.q75MinHashStored(spark, dir).count() }
+      verboseStages.set(false)
+    }
+
     if (want("q75")) time("q75_full") { Queries.q75MinHashStored(spark, dir).count() }
     if (want("q26")) time("q26_full") { Queries.q26MinHashPairs(spark, dir).count() }
     if (want("q77")) time("q77_full") { Queries.q77MinHashIncremental(spark, dir).count() }

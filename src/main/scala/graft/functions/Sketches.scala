@@ -79,14 +79,129 @@ object Sketches {
 
   /** (a*b) mod (2^61-1) for 0 ≤ a,b < 2^61-1, branch-free 64-bit arithmetic:
     * with p = 2^61-1, 2^64 ≡ 8 (mod p), so ab = hi·2^64 + lo ≡ hi·8 + lo.
-    * hi < 2^58 (product < 2^122) keeps hi·8 < 2^61; the unsigned low word
-    * reduces via Long.remainderUnsigned. ~20× faster than the BigInt path.
+    * hi < 2^58 (product < 2^122) keeps hi·8 < 2^61.
+    *
+    * Division-free on the hot path: p is a Mersenne prime, so x mod p for
+    * unsigned x < 2^64 folds as (x & p) + (x >>> 61) (2^61 ≡ 1 mod p) with
+    * one conditional subtract — no hardware divide. The minhash inner loop
+    * runs this per (shingle × hash function); the two divisions of the
+    * previous remainderUnsigned/% form dominated sketching CPU. Negative
+    * operands (possible only through the abs(Long.MinValue) corner of the
+    * shingle hash) take the original divide-based path so results stay
+    * bit-identical for every input.
     */
   def mulMod(a: Long, b: Long, m: Long): Long = {
     require(m == MersennePrime, "mulMod is specialized to p = 2^61-1")
     val hi = Math.multiplyHigh(a, b)
     val lo = a * b
-    (hi * 8 + java.lang.Long.remainderUnsigned(lo, m)) % m
+    if ((a | b) >= 0) {
+      val loFold = (lo & m) + (lo >>> 61) // lo mod p: < p + 8, one subtract
+      val loM = if (loFold >= m) loFold - m else loFold
+      val s = hi * 8 + loM                // < 2^62, no overflow
+      val sFold = (s & m) + (s >>> 61)
+      if (sFold >= m) sFold - m else sFold
+    } else (hi * 8 + java.lang.Long.remainderUnsigned(lo, m)) % m
+  }
+
+  /** The DISTINCT shingle-hash values of a text — `shingles(text, n)` mapped
+    * through `abs(fnv1a(_)) % p` without materializing shingle strings or a
+    * Set[String]: one char-level normalize pass (identical to shingles():
+    * toLowerCase(ROOT), `\s+`→" ", String.trim), then fnv1a computed over
+    * each n-char window in place, deduplicated by VALUE in a primitive
+    * open-addressing table. Value-dedup is min-safe: minHash reduces the
+    * hash multiset with min per family entry, so collapsing duplicate
+    * values (whether from equal shingles or fnv collisions) cannot change
+    * any minimum — MinHashFastSpec asserts signature equality against the
+    * Set[String] path. This removes the per-shingle substring + Set
+    * allocation that dominated sketching alongside mulMod's divisions.
+    */
+  def shingleHashValues(text: String, n: Int): Array[Long] = {
+    val lower = text.toLowerCase(Root)
+    val len = lower.length
+    val buf = new Array[Char](len)
+    var m = 0
+    var i = 0
+    var inWs = false
+    while (i < len) {
+      val c = lower.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (ws) {
+        if (!inWs) { buf(m) = ' '; m += 1; inWs = true }
+      } else { buf(m) = c; m += 1; inWs = false }
+      i += 1
+    }
+    // String.trim semantics: strip leading/trailing chars <= ' '
+    var lo = 0
+    var hi = m
+    while (lo < hi && buf(lo) <= ' ') lo += 1
+    while (hi > lo && buf(hi - 1) <= ' ') hi -= 1
+    def windowHash(from: Int, until: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var k = from
+      while (k < until) { h ^= buf(k).toLong; h *= 0x100000001b3L; k += 1 }
+      math.abs(h) % MersennePrime
+    }
+    val length = hi - lo
+    if (length == 0) return Array.emptyLongArray
+    if (length < n) return Array(windowHash(lo, hi))
+    val count = length - n + 1
+    val cap = Integer.highestOneBit(math.max(2, count) * 2 - 1) << 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val out = new Array[Long](count)
+    var outN = 0
+    var w = lo
+    while (w + n <= hi) {
+      val h = windowHash(w, w + n)
+      var idx = ((h * 0x9e3779b97f4a7c15L) >>> 40).toInt & (cap - 1)
+      var done = false
+      while (!done) {
+        if (!used(idx)) {
+          used(idx) = true; table(idx) = h; out(outN) = h; outN += 1; done = true
+        } else if (table(idx) == h) done = true
+        else idx = (idx + 1) & (cap - 1)
+      }
+      w += 1
+    }
+    if (outN == count) out else java.util.Arrays.copyOf(out, outN)
+  }
+
+  /** MinHash over precomputed shingle-hash values (the shingleHashValues
+    * fast path) — identical output to `minHash(shingles(text, n), family)`.
+    */
+  def minHashFromHashes(hs: Array[Long], family: Array[(Long, Long)]): Array[Long] = {
+    val out = new Array[Long](family.length)
+    if (hs.isEmpty) { java.util.Arrays.fill(out, Long.MaxValue); return out }
+    var k = 0
+    while (k < family.length) {
+      val a = family(k)._1
+      val b = family(k)._2
+      var min = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = mulMod(a, hs(i), MersennePrime) + b
+        // v ∈ (-p, 2p): the conditional subtract equals the original `% p`
+        // over that whole range (negative only via the abs corner case)
+        val vm = if (v >= MersennePrime) v - MersennePrime else v
+        if (vm < min) min = vm
+        i += 1
+      }
+      out(k) = min
+      k += 1
+    }
+    out
+  }
+
+  /** Signature agreement fraction — `estJaccard` without the per-position
+    * tuple boxing (the candidate-estimate hot loop). Same formula: equal
+    * positions over min(length) divided by s1.length.
+    */
+  def estJaccardFast(s1: Array[Long], s2: Array[Long]): Double = {
+    val n = math.min(s1.length, s2.length)
+    var eq = 0
+    var i = 0
+    while (i < n) { if (s1(i) == s2(i)) eq += 1; i += 1 }
+    eq.toDouble / s1.length
   }
 
   /** LSH band keys: signature split into `bands` bands of `rows` rows; key =

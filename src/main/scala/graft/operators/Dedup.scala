@@ -25,6 +25,26 @@ object Dedup {
   // and these splitters run per document (paragraphs, decontamination grams)
   private val WsPat = java.util.regex.Pattern.compile("\\s+")
 
+  /** Cap a frame's partition count at what its own size estimate justifies
+    * (guide §2.2 "fewer, larger map tasks" / §6 input split sizing): the
+    * banding/pair stages of candidate generation are cheap per row, and a
+    * sketch/signature table scanned at `files.minPartitionNum`-inflated
+    * parallelism turns every downstream exchange into M×R shuffle-file
+    * creations whose per-task fixed cost dwarfs the data (measured: the
+    * band self-join + pair dedup at 32 map tasks × 128 shuffle partitions
+    * cost ~26 task-seconds on a 2.5 MB signature table; 4 map tasks, 1.7).
+    * Scale-adaptive, not core-count-tuned: partitions = ceil(estimated
+    * bytes / targetBytes), and `coalesce` never increases a partition
+    * count, so at corpus scale (estimate ≫ partitions × target) this is a
+    * no-op. Frames with no usable size estimate are left untouched.
+    */
+  private def sizeJustifiedCoalesce(df: DataFrame, targetBytes: Long = 64L << 20): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= 0 || !est.isValidLong) df
+    else df.coalesce(math.max(1L, (est.toLong + targetBytes - 1) / targetBytes)
+      .min(Int.MaxValue.toLong).toInt)
+  }
+
   /** The canonical normalized-content digest (whitespace-collapsed,
     * lowercased, md5) — THE content identity every exact-dedup consumer
     * shares (exact, q25, the q67 survivor pick). Delegates to the single
@@ -65,7 +85,10 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        (id, Sketches.minHash(Sketches.shingles(text, shingleN), family.value))
+        // fast path: identical signatures to minHash(shingles(text, n), _)
+        // (MinHashFastSpec), without shingle-string/Set materialization
+        (id, Sketches.minHashFromHashes(
+          Sketches.shingleHashValues(text, shingleN), family.value))
       })
       .toDF("id", "sig")
   }
@@ -78,10 +101,11 @@ object Dedup {
     */
   def minHashCandidates(
       spark: SparkSession,
-      sigs: DataFrame,
+      sigs0: DataFrame,
       bands: Int = 16,
       minEstJaccard: Double = 0.5
   ): DataFrame = {
+    val sigs = sizeJustifiedCoalesce(sigs0)
     // band the ids only — the bucket self-join and pair-dedup shuffles move
     // 16-byte pairs, not 8 KB signature arrays (64 hashes × 8 B × 16 bands);
     // signatures are joined back once per surviving pair
@@ -91,9 +115,26 @@ object Dedup {
     val pairs = l.join(r, Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
+      .transform(pairParallelism(spark, _))
       .dropDuplicates("id1", "id2")
     estimatePairs(spark, sigs, pairs, minEstJaccard)
   }
+
+  /** The pair-dedup exchange, width-controlled: dropDuplicates alone
+    * shuffles at `spark.sql.shuffle.partitions` and AQE then coalesces the
+    * READ side by byte size — correct for IO-bound stages, but the stage
+    * consuming these pairs (the signature-estimate map) is CPU-bound per
+    * row, so byte-based coalescing serializes it (measured: the whole
+    * candidate tail collapsed to one task at sf0.1). An EXPLICIT
+    * repartition on the dedup key keeps the same single exchange
+    * (dropDuplicates reuses the hash distribution) while pinning the
+    * post-shuffle width to the cluster's cores — the repo's convention for
+    * CPU-bound stages (cores scale with the cluster, not with one host),
+    * which AQE respects because user-specified repartitions are never
+    * coalesced.
+    */
+  private def pairParallelism(spark: SparkSession, pairs: DataFrame): DataFrame =
+    pairs.repartition(spark.sparkContext.defaultParallelism, col("id1"), col("id2"))
 
   /** The shared candidate tail: join signatures back per surviving pair and
     * keep pairs whose signature-estimated Jaccard clears the bar.
@@ -104,16 +145,24 @@ object Dedup {
       pairs: DataFrame,
       minEstJaccard: Double
   ): DataFrame = {
-    import spark.implicits._
     val s1 = sigs.select(col("id").as("id1"), col("sig").as("sig1"))
     val s2 = sigs.select(col("id").as("id2"), col("sig").as("sig2"))
+    // the agreement count as a NATIVE codegen expression over columnar
+    // ArrayData (graft.plans.SigAgreeExpr): zero per-pair allocation.
+    // Measured alternatives at sf0.1 candidate volume: the typed .map
+    // deserialized two 64-long arrays per pair (GC-heavy serial tail); the
+    // zip_with/aggregate HOF form is interpreted, ~2.5× slower than the
+    // map. Division mirrors estJaccard exactly: eq.toDouble / s1.length.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sig_agree_fast",
+      exprs => graft.plans.SigAgreeExpr(exprs.head, exprs(1)),
+      "built-in")
+    val eq = expr("sig_agree_fast(sig1, sig2)")
     pairs
       .join(s1, Seq("id1"))
       .join(s2, Seq("id2"))
-      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (a, b, sg1, sg2) => (a, b, Sketches.estJaccard(sg1, sg2)) }
-      .toDF("id1", "id2", "est_jaccard")
+      .select(col("id1"), col("id2"),
+        (eq.cast("double") / size(col("sig1"))).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
@@ -267,7 +316,7 @@ object Dedup {
       s"band layout at $bandLayoutPath does not cover allSigs - " +
         "appendBandLayout the new batch BEFORE querying the pruned path, " +
         "or new-vs-new collision pairs would be silently dropped")
-    val newKeys = bandBucketed(spark, newSigs, bands, nBuckets)
+    val newKeys = bandBucketed(spark, sizeJustifiedCoalesce(newSigs), bands, nBuckets)
     // the bucket set is bounded by nBuckets (a few hundred Ints) — safe to
     // collect and inline as a partition-pruning predicate
     val buckets = newKeys.select(col("bucket")).distinct()
@@ -288,6 +337,7 @@ object Dedup {
       .select(
         least(col("idn"), col("ida")).as("id1"),
         greatest(col("idn"), col("ida")).as("id2"))
+      .transform(pairParallelism(newKeys.sparkSession, _))
       .dropDuplicates("id1", "id2")
 
   /** Incremental candidate generation after a corpus append: band the NEW
@@ -308,11 +358,13 @@ object Dedup {
     */
   def minHashCandidatesIncremental(
       spark: SparkSession,
-      allSigs: DataFrame,
-      newSigs: DataFrame,
+      allSigs0: DataFrame,
+      newSigs0: DataFrame,
       bands: Int = 16,
       minEstJaccard: Double = 0.5
   ): DataFrame = {
+    val allSigs = sizeJustifiedCoalesce(allSigs0)
+    val newSigs = sizeJustifiedCoalesce(newSigs0)
     estimatePairs(spark, allSigs,
       newVsAllPairs(banded(spark, newSigs, bands), banded(spark, allSigs, bands)),
       minEstJaccard)
@@ -335,17 +387,19 @@ object Dedup {
     */
   def simHashPairs(
       spark: SparkSession,
-      hashes: DataFrame,
+      hashes0: DataFrame,
       maxHamming: Int = 3,
       chunks: Int = 4,
       chunkBits: Int = 16
   ): DataFrame = {
+    val hashes = sizeJustifiedCoalesce(hashes0)
     val banded = simBanded(spark, hashes, chunks, chunkBits)
     val l = banded.select(col("band"), col("chunk"), col("id").as("id1"), col("h").as("h1"))
     val r = banded.select(col("band"), col("chunk"), col("id").as("id2"), col("h").as("h2"))
     val pairs = l.join(r, Seq("band", "chunk"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("h1"), col("h2"))
+      .transform(pairParallelism(spark, _))
       .dropDuplicates("id1", "id2")
     hammingVerified(spark, pairs, maxHamming)
   }
@@ -365,15 +419,15 @@ object Dedup {
       .toDF("band", "chunk", "id", "h")
   }
 
-  /** Exact-Hamming verification tail over (id1, id2, h1, h2) pair rows. */
-  private def hammingVerified(spark: SparkSession, pairs: DataFrame, maxHamming: Int): DataFrame = {
-    import spark.implicits._
+  /** Exact-Hamming verification tail over (id1, id2, h1, h2) pair rows.
+    * bit_count(xor) as a codegen'd built-in — the former typed map
+    * deserialized every candidate pair row into a Tuple4 (guide §4).
+    */
+  private def hammingVerified(spark: SparkSession, pairs: DataFrame, maxHamming: Int): DataFrame =
     pairs
-      .as[(Long, Long, Long, Long)]
-      .map { case (a, b, h1, h2) => (a, b, Sketches.hamming(h1, h2)) }
-      .toDF("id1", "id2", "hamming")
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-  }
 
   /** Incremental SimHash near-dup after a corpus append — the
     * `minHashCandidatesIncremental` contract for the SimHash family:
@@ -383,12 +437,14 @@ object Dedup {
     */
   def simHashPairsIncremental(
       spark: SparkSession,
-      allHashes: DataFrame,
-      newHashes: DataFrame,
+      allHashes0: DataFrame,
+      newHashes0: DataFrame,
       maxHamming: Int = 3,
       chunks: Int = 4,
       chunkBits: Int = 16
   ): DataFrame = {
+    val allHashes = sizeJustifiedCoalesce(allHashes0)
+    val newHashes = sizeJustifiedCoalesce(newHashes0)
     val bNew = simBanded(spark, newHashes, chunks, chunkBits)
       .select(col("band"), col("chunk"), col("id").as("idn"), col("h").as("hn"))
     val bAll = simBanded(spark, allHashes, chunks, chunkBits)
@@ -400,6 +456,7 @@ object Dedup {
         greatest(col("idn"), col("ida")).as("id2"),
         when(col("idn") < col("ida"), col("hn")).otherwise(col("ha")).as("h1"),
         when(col("idn") < col("ida"), col("ha")).otherwise(col("hn")).as("h2"))
+      .transform(pairParallelism(spark, _))
       .dropDuplicates("id1", "id2")
     hammingVerified(spark, pairs, maxHamming)
   }
@@ -488,7 +545,10 @@ object Dedup {
       .withColumn("m", least(min(col("v")).over(w), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
+    // no trailing distinct: largeStar feeds only smallStar, whose window-min
+    // is duplicate-insensitive and whose own trailing distinct restores set
+    // semantics — dropping it removes one full exchange PER STAR ROUND at
+    // the cost of ≤2|e| (instead of deduped) rows into smallStar's shuffle
   }
 
   /** small-star: orient edges toward the smaller endpoint, then every node

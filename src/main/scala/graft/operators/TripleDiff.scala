@@ -33,6 +33,29 @@ object TripleDiff {
     l.join(r, cond, "left_anti")
   }
 
+  /** diffOps specialized to the common case where BOTH revisions derive
+    * from ONE frame: each row carries the key columns plus two membership
+    * flags (row belongs to the old / the new revision; each row must be in
+    * at least one — enforced by the pre-filter). ONE scan and ONE
+    * map-side-combining aggregation replace diffOps' two distincts + a
+    * full-outer join (guide §2.3 aggregate-before-shuffle, §8 use what the
+    * optimizer cannot see: the two sides share a subtree, which diffOps
+    * would evaluate twice). Output rows and schema are identical to
+    * `diffOps(df.filter(inOld), df.filter(inNew), keys)`.
+    */
+  def diffOpsFromFlags(
+      df: DataFrame, inOld: org.apache.spark.sql.Column,
+      inNew: org.apache.spark.sql.Column, keys: Seq[String] = keyCols): DataFrame =
+    df.filter(inOld || inNew)
+      .select(keys.map(col) :+ inOld.as("__in_old") :+ inNew.as("__in_new"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__in_old")).as("__in_old"), max(col("__in_new")).as("__in_new"))
+      .select(keys.map(col) :+
+        when(!col("__in_old"), lit("INSERT"))
+          .when(!col("__in_new"), lit("DELETE"))
+          .otherwise(lit(null).cast("string")).as("op"): _*)
+      .filter(col("op").isNotNull)
+
   /** Single-shuffle both-directions diff: returns the union tagged with
     * op ∈ {INSERT, DELETE}. Input rows are deduplicated per side first
     * (set semantics, like rdflib Graph).

@@ -329,9 +329,18 @@ object Tables {
     * map), so a day-batch read scans only that batch's rows wherever the
     * predicate is pushable, never synthesizing pages it will drop.
     */
-  def pagesWhere(spark: SparkSession, dir: String, pred: Column): Dataset[Page] = {
+  def pagesWhere(spark: SparkSession, dir: String, pred: Column): Dataset[Page] =
+    pagesShaped(spark, dir, pred, identity)
+
+  /** `pagesWhere` with a caller-chosen re-shaping step applied BETWEEN the
+    * narrow projection and the html-synthesis map — so a repartition
+    * shuffles (url, ts, text, lang) rows, never the synthesized html bytes.
+    */
+  private def pagesShaped(
+      spark: SparkSession, dir: String, pred: Column,
+      shape: DataFrame => DataFrame): Dataset[Page] = {
     import spark.implicits._
-    read(spark, dir, "documents")
+    val narrow = read(spark, dir, "documents")
       .filter(pred)
       .select(
         concat(lit("https://example.org/"), col("source"), lit("/doc"), col("doc_id"))
@@ -341,6 +350,7 @@ object Tables {
         col("text"),
         col("lang")
       )
+    shape(narrow)
       .as[(String, java.sql.Timestamp, String, String)]
       .mapPartitions(_.map { case (url, ts, text, lang) =>
         Page(url, ts, HtmlCodec.generate(url, text), text, lang)
@@ -349,10 +359,14 @@ object Tables {
 
   /** Page table pre-partitioned by url hash — the explicit repartitioning the
     * north_rule requires ahead of the extraction stage, so parallelism scales
-    * with cores/executors independent of input file splits.
+    * with cores/executors independent of input file splits. The exchange
+    * sits BELOW the html-synthesis map (guide §8: decide placement on small
+    * rows, synthesize the heavy payload after the shuffle) — it moves the
+    * ~300 B projected document row, not the ~2.5 KB page with html, and the
+    * synthesis CPU lands already balanced.
     */
   def pagesPartitioned(spark: SparkSession, dir: String, numPartitions: Int): Dataset[Page] =
-    pages(spark, dir).repartition(numPartitions, col("url"))
+    pagesShaped(spark, dir, lit(true), _.repartition(numPartitions, col("url")))
 
   /** Media fixture table: (media_id, image) where image is a REAL PNG
     * (javax.imageio) with dimensions and fill a closed-form function of

@@ -104,6 +104,38 @@ class OperatorsSpec extends SparkSpec {
     assert(TripleDiff.diffOps(a, a, keys).count() == 0)
   }
 
+  test("property: diffOpsFromFlags equals diffOps on a randomly flagged shared frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val rng = new scala.util.Random(11)
+    val keys = Seq("entity", "subj", "pred", "obj")
+    // shared frame with per-row membership flags (each row in ≥1 revision),
+    // including duplicate key rows with differing flags (max-combine case)
+    val rows = (0 until 60).map { i =>
+      val inOld = rng.nextBoolean()
+      ("E", s"s${i % 9}", s"p${i % 2}", s"o${i % 13}", inOld, !inOld || rng.nextBoolean())
+    }
+    val df = rows.toDF("entity", "subj", "pred", "obj", "in_old", "in_new")
+    val viaFlags = TripleDiff
+      .diffOpsFromFlags(df, col("in_old"), col("in_new"), keys)
+      .collect().map(_.toSeq).toSet
+    val viaDiff = TripleDiff
+      .diffOps(
+        df.filter(col("in_old")).select(keys.map(col): _*),
+        df.filter(col("in_new")).select(keys.map(col): _*), keys)
+      .collect().map(_.toSeq).toSet
+    assert(viaFlags == viaDiff)
+    // one aggregation exchange, no join, in the flag form's plan
+    val plan = TripleDiff.diffOpsFromFlags(df, col("in_old"), lit(true), keys)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1, plan.toString)
+  }
+
   test("property: diff anti-symmetry — added(B,A) equals removed(A,B)") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
