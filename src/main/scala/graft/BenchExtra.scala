@@ -238,6 +238,16 @@ object BenchExtra {
     if (want("q23")) time("q23_full") { Queries.q23TripleDiff(spark, dir).count() }
     if (want("q49")) time("q49_full") { Queries.q49Components(spark, dir).count() }
     if (want("q67")) time("q67_full") { Queries.q67CurateCorpus(spark, dir).count() }
+    if (want("v67")) {
+      verboseStages.set(true)
+      time("v67_full") { Queries.q67CurateCorpus(spark, dir).count() }
+      verboseStages.set(false)
+    }
+    if (want("v49")) {
+      verboseStages.set(true)
+      time("v49_full") { Queries.q49Components(spark, dir).count() }
+      verboseStages.set(false)
+    }
     if (want("q40")) time("q40_full") { Queries.q40Pipeline(spark, dir).count() }
 
     spark.stop()

@@ -1921,7 +1921,12 @@ object Queries {
     val canaried = canariedDocs(s, dir)
     val evalGrams = s.sparkContext.broadcast(
       Curation.evalGramSet(canaried, "text", col("doc_id") % 100 === 0))
+    // balance the corpus before the metrics map: the documents table is one
+    // input split at bench scale, so the repetition/gram/classifier pass —
+    // the query's dominant CPU (~0.7 s measured) — would otherwise run in a
+    // single task; the exchange moves pre-metrics rows once
     val train = canaried.filter(col("doc_id") % 100 =!= 0)
+      .repartition(s.sparkContext.defaultParallelism)
     val keep = Curation.metrics(train, "doc_id", "text", evalGrams)
       .filter(Curation.keepFilter)
     // survivor pick as a window-min over the digest — NOT groupBy + semi-
@@ -1932,6 +1937,12 @@ object Queries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(Dedup.contentFingerprint(col("text")))
     keep
+      // width-control the survivor exchange: an explicit repartition on the
+      // SAME fingerprint expression satisfies the window's clustering, so
+      // this is still the query's one wide op — at the cluster's core count
+      // instead of the session shuffle width, which bounds the
+      // metrics-stage × shuffle-partition file creations
+      .repartition(s.sparkContext.defaultParallelism, Dedup.contentFingerprint(col("text")))
       .withColumn("min_id", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("min_id"))
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("rep_micro"))

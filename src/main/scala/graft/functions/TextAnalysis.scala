@@ -217,6 +217,12 @@ object TextAnalysis {
     val earlier = bpeMerges.take(i).map { case (x, y) => x + y }.toSet
     (a.length == 1 || earlier(a)) && (b.length == 1 || earlier(b))
   }, "bpeMerges is not well-ordered: a compound operand precedes its producing merge")
+  // product uniqueness: two merges yielding the same compound (e.g. ('a','nd')
+  // alongside ('an','d')) would let a later merge recreate a symbol an
+  // earlier, already-exhausted merge consumes — silently diverging the
+  // single-pass replace chain from iterative BPE
+  require(bpeMerges.map { case (a, b) => a + b }.distinct.size == bpeMerges.size,
+    "bpeMerges products are not unique: two merges produce the same compound symbol")
 
   /** Reference STANDARD BPE encoder (the iterative algorithm every real
     * tokenizer runs: repeatedly find the highest-priority merge with an

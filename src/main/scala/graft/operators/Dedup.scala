@@ -642,18 +642,31 @@ object Dedup {
     // truncates the lineage AND returns the convergence signature — there is
     // no separate checkpoint/count/except job left in the loop at all
     // (the initial signature also doubles as the emptiness check)
+    //
+    // Partition economy per round: the checkpointed edge set inherits the
+    // session's shuffle partition count, so each of the next round's
+    // exchanges would create (that many map tasks) × (shuffle partitions)
+    // shuffle files regardless of edge volume. The signature aggregate
+    // already knows the EXACT edge count, so cap the checkpoint's
+    // partitioning at what the rows justify (two-Long rows; ~1M rows per
+    // partition ⇒ ~16 MB tasks) — a narrow cached-block merge, a no-op
+    // whenever the justified count meets the current one (large graphs).
+    def rowJustified(df: DataFrame, rows: Long): DataFrame =
+      df.coalesce(math.max(1L, rows >> 20).min(Int.MaxValue.toLong).toInt)
     var e = init.localCheckpoint(false)
     var sig = signature(e)
     if (sig._1 == 0) return (e.select(col("u").as("id"), col("v").as("component")), true)
+    e = rowJustified(e, sig._1)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
+      val nextBalanced = rowJustified(next, nextSig._1)
       // signature repeat ⇒ run the exact confirmation (once, at fixpoint)
-      if (nextSig == sig) converged = next.except(e).isEmpty
+      if (nextSig == sig) converged = nextBalanced.except(e).isEmpty
       sig = nextSig
-      e = next
+      e = nextBalanced
       it += 1
     }
     if (!converged)

@@ -132,6 +132,22 @@ object Tables {
         // the Manifest family's collision-resistant sequence, not bare
         // millis: two appends in the same millisecond stay ordered
         lit(graft.pipeline.Manifest.nextRunSeq()).as("run_seq"))
+    // style guard: a layout must not mix keyed (key=<k> partition dirs) and
+    // plain-append lineage rows — Spark's partition discovery throws
+    // 'conflicting directory structures' on the MIXED log, which would break
+    // the audit forever on byte-correct data. Reject the write that would
+    // introduce the mix instead.
+    val linDir = new java.io.File(s"$path/_lineage")
+    if (linDir.isDirectory) {
+      val names = linDir.listFiles().map(_.getName)
+      val hasKeyed = names.exists(_.startsWith("key="))
+      val hasPlain = names.exists(n => n.endsWith(".parquet"))
+      val wantKeyed = idempotencyKey.isDefined
+      require(!(wantKeyed && hasPlain) && !(!wantKeyed && hasKeyed),
+        s"layout lineage at $path/_lineage already uses the " +
+          s"${if (hasKeyed) "idempotency-keyed" else "plain-append"} style; " +
+          "mixing styles breaks partition discovery for every later audit")
+    }
     idempotencyKey match {
       // key=<k> is partition-style naming, so readLayoutLineage's parquet
       // read discovers `key` as a partition column — audit aggregates are
@@ -185,7 +201,15 @@ object Tables {
     // partitioned by the wrong column would pass every data/audit check
     // while silently killing partition pruning (the failure mode must be
     // an error, not a wrong answer)
-    val dirCols = listNames(path).filter(_.contains("=")).map(_.split("=")(0)).toSet
+    // DIRECTORIES only (a stray file with '=' in its name must not corrupt
+    // the inference), and an empty partition-dir set gets its own message
+    // rather than a misleading "partitioned by []" mismatch
+    val dirCols = listNames(path)
+      .filter(n => n.contains("=") && new java.io.File(path, n).isDirectory)
+      .map(_.split("=")(0)).toSet
+    require(dirCols.nonEmpty,
+      s"no partition directories at $path - nothing to compact " +
+        "(empty or unpartitioned layout)")
     require(dirCols == Set(partCol),
       s"layout at $path is partitioned by [${dirCols.mkString(",")}] but compaction " +
         s"was asked to partition by $partCol")
