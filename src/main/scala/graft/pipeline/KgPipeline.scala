@@ -54,11 +54,12 @@ object KgPipeline {
     * already satisfies it (sort only, no exchange), and the same holds for
     * the adjacency window and the final dedup aggregate in `triples`.
     */
-  def linkedMentions(spark: SparkSession, pages: Dataset[Page]): DataFrame = {
+  def linkedMentions(
+      spark: SparkSession, pages: Dataset[Page], urlParts: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val trie = spark.sparkContext.broadcast(graft.text.AhoCorasick.build(Dict.surfaces))
     val mismatches = spark.sparkContext.longAccumulator("extract_mismatches")
-    val mentions = pages
+    val raw = pages
       .flatMap { p =>
         val text = HtmlCodec.extract(p.html)
         if (text != p.text) mismatches.add(1)
@@ -67,7 +68,14 @@ object KgPipeline {
         }
       }
       .toDF("url", "warc_ts", "surface", "begin")
-      .repartition(col("url")) // the pipeline's one wide op (mentions, not html bytes)
+    // the pipeline's one wide op (mentions, not html bytes); an explicit
+    // width (run() passes its numPartitions) bounds the map-tasks ×
+    // shuffle-partitions file count of this exchange — None keeps the
+    // session's shuffle width (the scaling job's measured configuration)
+    val mentions = urlParts match {
+      case Some(n) => raw.repartition(n, col("url"))
+      case None    => raw.repartition(col("url"))
+    }
     import org.apache.spark.sql.functions.broadcast
     val cands = mentions
       .join(broadcast(Dict.aliases.toDF()), Seq("surface"))
@@ -88,8 +96,10 @@ object KgPipeline {
     * recomputed branches — the source is scanned once and, given the
     * url-partitioning from linkedMentions, no further shuffle occurs here.
     */
-  def triples(spark: SparkSession, pages: Dataset[Page], maxGap: Int = 30): DataFrame = {
-    val linked = linkedMentions(spark, pages)
+  def triples(
+      spark: SparkSession, pages: Dataset[Page], maxGap: Int = 30,
+      urlParts: Option[Int] = None): DataFrame = {
+    val linked = linkedMentions(spark, pages, urlParts)
     val w = Window.partitionBy(col("url")).orderBy(col("begin").asc, col("surface").asc)
     val adjOk =
       col("next_qid").isNotNull &&
@@ -175,7 +185,7 @@ object KgPipeline {
   def run(spark: SparkSession, dir: String, numPartitions: Int = 32): DataFrame = {
     import graft.sources.Tables
     val pages = Tables.pagesPartitioned(spark, dir, numPartitions)
-    dedupTriples(triples(spark, pages))
+    dedupTriples(triples(spark, pages, urlParts = Some(numPartitions)))
   }
 
   /** Node table of the materialized graph: every entity appearing as a

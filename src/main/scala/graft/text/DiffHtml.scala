@@ -337,6 +337,50 @@ object DiffHtml {
   private def tdWithClass(row: Elem, cls: String): Option[Elem] =
     row.find(e => e.name == "td" && e.hasClass(cls))
 
+  /** Everything the per-row walk needs from one pre-order pass (same
+    * document order as findAll/find, which visit a node before descending):
+    * the row loop previously re-traversed each row's subtree ~6 times
+    * (three tdWithClass probes, the row-wide first <a>, the del/ins
+    * diffchange finds, the per-class td lists) — per-row traversal was the
+    * walk's largest remaining cost after the hasClass/regex fixes.
+    */
+  private final class RowScan {
+    var tdLineno: Elem = _
+    val tdsDeleted = new mutable.ArrayBuffer[Elem](2)
+    val tdsAdded = new mutable.ArrayBuffer[Elem](2)
+    var firstA: Elem = _
+    var firstDel: Elem = _
+    var firstIns: Elem = _
+  }
+
+  private def scanRow(row: Elem): RowScan = {
+    val rs = new RowScan
+    def walk(e: Elem): Unit = {
+      val ch = e.children
+      var i = 0
+      while (i < ch.length) {
+        ch(i) match {
+          case c: Elem =>
+            c.name match {
+              case "td" =>
+                if (rs.tdLineno == null && c.hasClass("diff-lineno")) rs.tdLineno = c
+                if (c.hasClass("diff-deletedline")) rs.tdsDeleted += c
+                if (c.hasClass("diff-addedline")) rs.tdsAdded += c
+              case "a" => if (rs.firstA == null) rs.firstA = c
+              case "del" => if (rs.firstDel == null && c.hasClass("diffchange")) rs.firstDel = c
+              case "ins" => if (rs.firstIns == null && c.hasClass("diffchange")) rs.firstIns = c
+              case _ => ()
+            }
+            walk(c)
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    walk(row)
+    rs
+  }
+
   /** process_flat_changes (get_updates.py:376-401). Appends to `statements`. */
   private def processFlat(
       statements: mutable.ArrayBuffer[String],
@@ -428,11 +472,14 @@ object DiffHtml {
 
     val rows = root.findAll(_.name == "tr")
     rows.foreach { row =>
+      // everything the branches below read, from ONE pass over the row
+      val rs = scanRow(row)
+
       // ---- extract_and_normalize_main_predicate (427-487), flushes first
-      if (tdWithClass(row, "diff-lineno").isDefined) {
+      if (rs.tdLineno != null) {
         flush()
         val tdText = row.getTextStripped
-        row.find(_.name == "a") match {
+        Option(rs.firstA) match {
           case Some(a) =>
             PropPat.findFirstMatchIn(a.outerHtml).foreach { m =>
               current = "p:" + m.group(1)
@@ -442,7 +489,7 @@ object DiffHtml {
             mainType = "property"
             language = ""
           case None =>
-            current = "schema:" + tdWithClass(row, "diff-lineno").get.getTextRaw.trim.replace(" ", "")
+            current = "schema:" + rs.tdLineno.getTextRaw.trim.replace(" ", "")
             val langList = current.split("/", -1).drop(1)
             language =
               if (langList.nonEmpty &&
@@ -463,19 +510,17 @@ object DiffHtml {
         if (isClaim) addRemoveClaim = true
       }
 
-      val targetClass: Option[String] =
-        if (tdWithClass(row, "diff-deletedline").isDefined) Some("diff-deletedline")
-        else if (tdWithClass(row, "diff-addedline").isDefined) Some("diff-addedline")
-        else None
+      val targetDeleted = rs.tdsDeleted.nonEmpty
 
       // ---- handle_claim_updates (490-514)
       if (addRemoveClaim) {
-        targetClass.foreach { tc =>
-          val buf = if (tc == "diff-deletedline") deletes else inserts
+        if (targetDeleted || rs.tdsAdded.nonEmpty) {
+          val buf = if (targetDeleted) deletes else inserts
           buf += "  ?statement a wikibase:Statement ."
           buf += "  ?statement a wikibase:BestRank ."
           buf += s"  wd:$entityId ${current.replace("ps:", "p:")} ?statement ."
-          val aTag = tdWithClass(row, tc).get.find(_.name == "a")
+          val firstTd = if (targetDeleted) rs.tdsDeleted.head else rs.tdsAdded.head
+          val aTag = firstTd.find(_.name == "a")
           aTag.flatMap(_.attr("href")).foreach { href =>
             val link = "<" + href.replace("https", "http") + ">"
             buf += s"  ?statement ${current.replace("ps:", "psn:")} $link ."
@@ -490,12 +535,11 @@ object DiffHtml {
 
       // ---- deleted values (246-294) / added values (297-345): same shape,
       //      del/ins tag, old/new revid, delete/insert buffer
-      def processSide(tdCls: String, changeTag: String, revId: Long, action: String,
+      def processSide(tds: Seq[Elem], changeElem: Elem, revId: Long, action: String,
           buf: mutable.ArrayBuffer[String]): Unit = {
-        if (tdWithClass(row, tdCls).isEmpty) return
-        val aggregated =
-          "\"" + row.findAll(e => e.name == "td" && e.hasClass(tdCls)).map(_.getTextRaw).mkString(" ") + "\""
-        row.find(e => e.name == changeTag && e.hasClass("diffchange")).foreach { raw =>
+        if (tds.isEmpty) return
+        val aggregated = "\"" + tds.map(_.getTextRaw).mkString(" ") + "\""
+        Option(changeElem).foreach { raw =>
           val value = removeWbDetails(raw)
           val nested = aggregateNested(value.findAll(_.name == "span"))
           def nestedStmt(tags: Seq[Elem]): String = {
@@ -512,8 +556,8 @@ object DiffHtml {
             processFlat(buf, entityId, current, language, value, aggregated)
         }
       }
-      processSide("diff-deletedline", "del", oldRevId, "delete", deletes)
-      processSide("diff-addedline", "ins", newRevId, "add", inserts)
+      processSide(rs.tdsDeleted.toSeq, rs.firstDel, oldRevId, "delete", deletes)
+      processSide(rs.tdsAdded.toSeq, rs.firstIns, newRevId, "add", inserts)
     }
 
     flush()
