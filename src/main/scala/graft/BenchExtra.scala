@@ -210,6 +210,11 @@ object BenchExtra {
 
     if (want("q75")) time("q75_full") { Queries.q75MinHashStored(spark, dir).count() }
     if (want("q26")) time("q26_full") { Queries.q26MinHashPairs(spark, dir).count() }
+    if (want("v26")) {
+      verboseStages.set(true)
+      time("v26_full") { Queries.q26MinHashPairs(spark, dir).count() }
+      verboseStages.set(false)
+    }
     if (want("q77")) time("q77_full") { Queries.q77MinHashIncremental(spark, dir).count() }
 
     if (want("q44gen"))

@@ -25,8 +25,7 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.read(s, dir, name)
 
-  /** Materialize a derived table ONCE PER INVOCATION and shrink its
-    * partitioning to what the materialized rows justify.
+  /** Materialize a derived table ONCE PER INVOCATION.
     *
     * localCheckpoint, deliberately NOT persist(): persist registers the
     * canonicalized plan with the CacheManager, so a LATER invocation
@@ -35,25 +34,13 @@ object Queries {
     * (every invocation must compute from the parquet inputs). A
     * localCheckpoint is tied to this invocation's RDD instance: computed
     * eagerly here, reused by every reference within THIS query, gone with
-    * the query. The trailing coalesce (narrow merge of the checkpointed
-    * blocks) caps downstream map-task counts at what `approxRowBytes ×
-    * rows / 64 MB` justifies — same scale-adaptive no-op-at-volume
-    * argument as Dedup.sizeJustifiedCoalesce, but from the exact
-    * materialized row count, which checkpointed plans don't expose via
-    * statistics.
+    * the query. The checkpointed partitioning (input-split/balance width)
+    * is kept as-is: the downstream exchanges are width-controlled at their
+    * own definition sites (Dedup.pairParallelism), and a measured
+    * coalesce-to-size variant here was strictly slower (it serialized the
+    * band/join probe stage for no remaining file-count benefit).
     */
-  private def materializedOnce(df: DataFrame, approxRowBytes: Long): DataFrame = {
-    val ck = df.localCheckpoint(true)
-    val rows = ck.count()
-    ck.coalesce(math.max(1L, rows * approxRowBytes / (64L << 20) + 1)
-      .min(Int.MaxValue.toLong).toInt)
-  }
-
-  /** (id, 64-hash sig) row: 8 + 64×8 B + array overhead. */
-  private val SigRowBytes = 560L
-
-  /** (id, simhash) row. */
-  private val SketchRowBytes = 24L
+  private def materializedOnce(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   // shared url construction (FIXTURES.md §1) — Spark + DuckDB forms
   private def urlCol: org.apache.spark.sql.Column =
@@ -863,7 +850,7 @@ object Queries {
     // every reference read the 2.5 MB checkpointed table.
     // Per-invocation only: each invocation re-sketches from parquet.
     val sigs = materializedOnce(
-      Dedup.minHashSignatures(s, docs, "doc_id", "text"), SigRowBytes)
+      Dedup.minHashSignatures(s, docs, "doc_id", "text"))
     Dedup.minHashCandidates(s, sigs, bands = 16, minEstJaccard = 0.7)
       .select(col("id1"), col("id2"))
   }
@@ -878,7 +865,7 @@ object Queries {
     // sketch once: both sides of the chunk-band self-join reference this
     // table; materializedOnce so neither re-runs the sketch map
     val hashes = materializedOnce(
-      Dedup.simHashes(s, t(s, dir, "documents"), "doc_id", "text"), SketchRowBytes)
+      Dedup.simHashes(s, t(s, dir, "documents"), "doc_id", "text"))
     Dedup.simHashPairs(s, hashes, maxHamming = 3).select(col("id1"), col("id2"), col("hamming"))
   }
 
@@ -910,7 +897,7 @@ object Queries {
   def q27SimHashGate(s: SparkSession, dir: String): DataFrame = {
     // sketch once (the md5 vote is the dominant CPU; the self-join
     // references the table twice) — materializedOnce, per-invocation only
-    val sk = materializedOnce(simHash48Table(s, dir), SketchRowBytes)
+    val sk = materializedOnce(simHash48Table(s, dir))
     Dedup.simHashPairs(s, sk, maxHamming = 3, chunks = 4, chunkBits = 12)
       .select(col("id1"), col("id2"), col("hamming").cast("bigint").as("hamming"))
   }
@@ -973,7 +960,7 @@ object Queries {
     val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
     // sketch once, reuse across the four signature references (see q26)
     val sigs = materializedOnce(
-      Dedup.minHashSignatures(s, docs, "doc_id", "text"), SigRowBytes)
+      Dedup.minHashSignatures(s, docs, "doc_id", "text"))
     val cands = Dedup.minHashCandidates(s, sigs, bands = 16, minEstJaccard = 0.3)
     Dedup.verifyJaccard(s, docs, "doc_id", "text", cands, shingleN = 5, minJaccard = 0.6)
       .select(col("id1"), col("id2"))
@@ -2317,7 +2304,7 @@ object Queries {
     // every layout file (the append-accumulated small files make the opens,
     // not the bytes, the cost). One parallel materialization, then all
     // references hit the cache. In-query only — each invocation re-reads.
-    val sigs = materializedOnce(s.read.parquet(sigLayout(s, dir)), SigRowBytes)
+    val sigs = materializedOnce(s.read.parquet(sigLayout(s, dir)))
     Dedup.minHashCandidates(s, sigs, bands = 16, minEstJaccard = 0.7)
       .select(col("id1"), col("id2"))
   }
@@ -2335,7 +2322,7 @@ object Queries {
   def q77MinHashIncremental(s: SparkSession, dir: String): DataFrame = {
     // one parallel read of the stored layout shared by every reference
     // (all-side banding, new-side banding, both estimate joins) — see q75
-    val all = materializedOnce(s.read.parquet(sigLayout(s, dir)), SigRowBytes)
+    val all = materializedOnce(s.read.parquet(sigLayout(s, dir)))
     val newSigs = all.filter(col("id") % 2 =!= 0)
     Dedup.minHashCandidatesIncremental(s, all, newSigs, bands = 16, minEstJaccard = 0.7)
       .select(col("id1"), col("id2"))
@@ -2791,8 +2778,8 @@ object Queries {
     // simHash48Table over the full corpus, so odd docs were md5-sketched
     // twice per query. Persist + materialize so the two references to the
     // odd table (union member, new side) share one computation.
-    val even = materializedOnce(simHash48Table(s, dir, col("doc_id") % 2 === 0), SketchRowBytes)
-    val odd = materializedOnce(simHash48Table(s, dir, col("doc_id") % 2 =!= 0), SketchRowBytes)
+    val even = materializedOnce(simHash48Table(s, dir, col("doc_id") % 2 === 0))
+    val odd = materializedOnce(simHash48Table(s, dir, col("doc_id") % 2 =!= 0))
     Dedup.simHashPairsIncremental(
       s, even.unionByName(odd), odd,
       maxHamming = 3, chunks = 4, chunkBits = 12)
