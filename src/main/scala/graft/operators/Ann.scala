@@ -131,6 +131,10 @@ object Ann {
     val pairs = l.join(r, Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
+      // width-controlled pair-dedup exchange (the Dedup.minHashCandidates
+      // discipline): keeps the CPU-bound cosine-verify stage core-parallel
+      // instead of byte-coalesced, at the same single exchange
+      .transform(Dedup.pairParallelism(spark, _))
       .dropDuplicates("id1", "id2")
     cosineVerified(spark, ids, pairs, minCosine)
   }
@@ -223,6 +227,7 @@ object Ann {
       .select(
         least(col("idn"), col("ida")).as("id1"),
         greatest(col("idn"), col("ida")).as("id2"))
+      .transform(Dedup.pairParallelism(spark, _))
       .dropDuplicates("id1", "id2")
     cosineVerified(spark, all, pairs, minCosine)
   }

@@ -133,7 +133,7 @@ object Dedup {
     * which AQE respects because user-specified repartitions are never
     * coalesced.
     */
-  private def pairParallelism(spark: SparkSession, pairs: DataFrame): DataFrame =
+  private[operators] def pairParallelism(spark: SparkSession, pairs: DataFrame): DataFrame =
     pairs.repartition(spark.sparkContext.defaultParallelism, col("id1"), col("id2"))
 
   /** The shared candidate tail: join signatures back per surviving pair and
