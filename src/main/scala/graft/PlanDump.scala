@@ -44,7 +44,9 @@ object PlanDump {
     "q19_link_top1" -> (Queries.q19LinkTop1 _),
     "q54_boilerplate" -> (Queries.q54Boilerplate _),
     "q58_dedup_e2e" -> (Queries.q58DedupE2E _),
-    "q65_decontaminate" -> (Queries.q65Decontaminate _)
+    "q65_decontaminate" -> (Queries.q65Decontaminate _),
+    "q38_embed_neardup" -> (Queries.q38EmbedNearDup _),
+    "q90_embed_neardup_incr" -> (Queries.q90EmbedNearDupIncr _)
   )
 
   def main(args: Array[String]): Unit = {

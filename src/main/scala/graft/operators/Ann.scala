@@ -170,16 +170,22 @@ object Ann {
       pairs: DataFrame,
       minCosine: Double
   ): DataFrame = {
-    import spark.implicits._
     val v1 = ids.select(col("id").as("id1"), col("v").as("v1"))
     val v2 = ids.select(col("id").as("id2"), col("v").as("v2"))
+    // exact cosine as a NATIVE codegen expression over columnar ArrayData
+    // (graft.plans.CosineExpr — the SigAgreeExpr discipline): the typed
+    // .map deserialized both float vectors per surviving pair through an
+    // object fence; this keeps join → score → filter one codegen span with
+    // zero per-pair allocation. Bit-identical to Sketches.cosine
+    // (CosineExprSpec; q38/q90 oracle hashes pin it end-to-end).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_fast",
+      exprs => graft.plans.CosineExpr(exprs.head, exprs(1)),
+      "built-in")
     pairs
       .join(v1, Seq("id1"))
       .join(v2, Seq("id2"))
-      .select(col("id1"), col("id2"), col("v1"), col("v2"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (a, b, x, y) => (a, b, Sketches.cosine(x, y)) }
-      .toDF("id1", "id2", "cosine")
+      .select(col("id1"), col("id2"), expr("cosine_fast(v1, v2)").as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 

@@ -62,5 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Int8DotExpr].getName, "int8_dot_fast"),
       (children: Seq[Expression]) => Int8DotExpr(children.head, children(1))
     ))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_fast"),
+      new ExpressionInfo(classOf[CosineExpr].getName, "cosine_fast"),
+      (children: Seq[Expression]) => CosineExpr(children.head, children(1))
+    ))
   }
 }
